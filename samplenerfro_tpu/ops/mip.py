@@ -1,0 +1,108 @@
+"""mip-NeRF integrated positional encoding along curved rays.
+
+Behavioral parity targets (reference SampleNeRFRO):
+  - expected_sin: rnerf/mip.py:26-32
+  - lift_gaussian along a curved path (refraction ray cones): rnerf/mip.py:35-57
+  - conical_frustum_to_gaussian / cylinder_to_gaussian: rnerf/mip.py:60-113
+  - cast_rays / integrated_pos_enc: rnerf/mip.py:116-175
+
+The reference wires this path but ships it commented out
+(rnerf/models.py:249-254); it is kept live here behind the `use_ipe` model
+flag so cone-aware featurization can be enabled on TPU.
+"""
+
+import jax.numpy as jnp
+
+from samplenerfro_tpu.ops import math as math_ops
+
+
+def expected_sin(x, x_var):
+  """Mean/variance of sin(z) for z ~ N(x, x_var)."""
+  y = jnp.exp(-0.5 * x_var) * math_ops.safe_sin(x)
+  y_var = jnp.maximum(
+      0, 0.5 * (1 - jnp.exp(-2 * x_var) * math_ops.safe_cos(2 * x)) - y**2)
+  return y, y_var
+
+
+def lift_gaussian(d, t_mean, t_var, r_var, diag, near):
+  """Lift per-segment Gaussians onto a curved path by cumulative summation.
+
+  The mean position is the cumsum of per-segment direction * arclength
+  (Refraction Ray Cones, NVIDIA 2021), matching rnerf/mip.py:35-57.
+  """
+  t = jnp.concatenate(
+      [t_mean[:, 0:1] - near, t_mean[:, 1:] - t_mean[:, :-1]], axis=-1)[..., None]
+  mean = jnp.cumsum(d * t, axis=1)
+  d_mag_sq = jnp.maximum(1e-10, jnp.sum(d**2, axis=-1, keepdims=True))
+  if diag:
+    d_outer_diag = d**2
+    null_outer_diag = 1 - d_outer_diag / d_mag_sq
+    cov_diag = t_var[..., None] * d_outer_diag + r_var[..., None] * null_outer_diag
+    return mean, cov_diag
+  d_outer = d[..., :, None] * d
+  eye = jnp.eye(d.shape[-1])
+  null_outer = eye - d[..., :, None] * (d / d_mag_sq)
+  cov = (t_var[..., None, None] * d_outer[..., None, :, :]
+         + r_var[..., None, None] * null_outer[..., None, :, :])
+  return mean, cov
+
+
+def conical_frustum_to_gaussian(d, t0, t1, base_radius, diag, near, stable=True):
+  """Gaussian approximation of a conical frustum (rnerf/mip.py:60-91)."""
+  if stable:
+    mu = (t0 + t1) / 2
+    hw = (t1 - t0) / 2
+    t_mean = mu + (2 * mu * hw**2) / (3 * mu**2 + hw**2)
+    t_var = (hw**2) / 3 - (4 / 15) * ((hw**4 * (12 * mu**2 - hw**2))
+                                      / (3 * mu**2 + hw**2)**2)
+    r_var = base_radius**2 * ((mu**2) / 4 + (5 / 12) * hw**2
+                              - 4 / 15 * (hw**4) / (3 * mu**2 + hw**2))
+  else:
+    t_mean = (3 * (t1**4 - t0**4)) / (4 * (t1**3 - t0**3))
+    r_var = base_radius**2 * (3 / 20 * (t1**5 - t0**5) / (t1**3 - t0**3))
+    t_mosq = 3 / 5 * (t1**5 - t0**5) / (t1**3 - t0**3)
+    t_var = t_mosq - t_mean**2
+  return lift_gaussian(d, t_mean, t_var, r_var, diag, near)
+
+
+def cylinder_to_gaussian(d, t0, t1, radius, diag, near):
+  """Gaussian approximation of a cylinder segment (rnerf/mip.py:94-113)."""
+  t_mean = (t0 + t1) / 2
+  r_var = radius**2 / 4
+  t_var = (t1 - t0)**2 / 12
+  return lift_gaussian(d, t_mean, t_var, r_var, diag, near)
+
+
+def cast_rays(t_vals, origins, directions, radii, ray_shape, near, diag=True):
+  """Featurize curved-ray sections as Gaussians (rnerf/mip.py:116-140)."""
+  t0 = t_vals[..., :-1]
+  t1 = t_vals[..., 1:]
+  if ray_shape == "cone":
+    gaussian_fn = conical_frustum_to_gaussian
+  elif ray_shape == "cylinder":
+    gaussian_fn = cylinder_to_gaussian
+  else:
+    raise ValueError(f"unknown ray_shape {ray_shape}")
+  means, covs = gaussian_fn(directions, t0, t1, radii, diag, near)
+  means = means + origins[:, 0:1]
+  return means, covs
+
+
+def integrated_pos_enc(x_coord, min_deg, max_deg, diag=True):
+  """IPE: expected sinusoids under per-sample Gaussians (rnerf/mip.py:143-175)."""
+  if diag:
+    x, x_cov_diag = x_coord
+    scales = jnp.asarray([2**i for i in range(min_deg, max_deg)], dtype=x.dtype)
+    shape = list(x.shape[:-1]) + [-1]
+    y = jnp.reshape(x[..., None, :] * scales[:, None], shape)
+    y_var = jnp.reshape(x_cov_diag[..., None, :] * scales[:, None]**2, shape)
+  else:
+    x, x_cov = x_coord
+    num_dims = x.shape[-1]
+    basis = jnp.concatenate(
+        [2**i * jnp.eye(num_dims) for i in range(min_deg, max_deg)], 1)
+    y = math_ops.matmul(x, basis)
+    y_var = jnp.sum((math_ops.matmul(x_cov, basis)) * basis, -2)
+  return expected_sin(
+      jnp.concatenate([y, y + 0.5 * jnp.pi], axis=-1),
+      jnp.concatenate([y_var] * 2, axis=-1))[0]
