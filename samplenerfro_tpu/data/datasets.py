@@ -1,0 +1,544 @@
+"""Host-side dataset loaders with threaded prefetch.
+
+Behavioral parity targets (reference SampleNeRFRO): rnerf/datasets.py:61-776
+(Blender / NSVF / OpenCV / LLFF loaders, single_image/all_images batching,
+precrop, envmap ray patches, the Grid boundary-point dataset).
+
+TPU notes: batches leave this module as flat host numpy arrays
+[batch, ...]; device placement/sharding happens in the training loop via
+jax.device_put with a NamedSharding over the ray axis (no per-host reshape
+to [local_devices, ...] as pmap needed). Per-host slicing for multi-process
+runs is batch_size // process_count, as in the reference.
+"""
+
+import json
+import os
+import queue
+import threading
+from glob import glob
+from os import path
+
+import numpy as np
+
+import jax
+
+from samplenerfro_tpu.data import rays as rays_lib
+from samplenerfro_tpu.data.rays import Rays, namedtuple_map
+from samplenerfro_tpu.ops import grid as grid_ops
+
+
+def get_dataset(split, args):
+  return dataset_dict[args.dataset](split, args)
+
+
+def _load_image(fname):
+  from PIL import Image
+  with open(fname, "rb") as imgin:
+    return np.array(Image.open(imgin), dtype=np.float32) / 255.0
+
+
+def _maybe_downsample(image, factor, allow_any=False):
+  import cv2
+  if factor == 2:
+    halfres_h, halfres_w = [hw // 2 for hw in image.shape[:2]]
+    return cv2.resize(image, (halfres_w, halfres_h),
+                      interpolation=cv2.INTER_AREA)
+  if factor > 0 and not allow_any:
+    raise ValueError(
+        "dataset only supports factor=0 or 2, {} set.".format(factor))
+  return image
+
+
+def _composite_white(images, white_bkgd):
+  if white_bkgd:
+    return images[..., :3] * images[..., -1:] + (1.0 - images[..., -1:])
+  return images[..., :3]
+
+
+class Dataset(threading.Thread):
+  """Threaded prefetch iterator of training batches / test examples."""
+
+  def __init__(self, split, args):
+    super().__init__()
+    self.queue = queue.Queue(3)
+    self.daemon = True
+    self.use_pixel_centers = args.use_pixel_centers
+    self.split = split
+    self.train_it = 0
+    self.test_it = 0
+    self.precrop_iters = args.precrop_iters
+    self.precrop_frac = args.precrop_frac
+    self.patch_size = args.bg_patch_size
+    if split == "train":
+      self._train_init(args)
+    elif split in ("val", "test"):
+      self._test_init(args)
+    else:
+      raise ValueError(
+          'the split argument should be "train", "val" or "test", set to '
+          "{} here.".format(split))
+    self.batch_size = args.batch_size // jax.process_count()
+    self.batching = args.batching
+    self.render_path = args.render_path
+    self.start()
+
+  def __iter__(self):
+    return self
+
+  def __next__(self):
+    """Next batch (train) or example (test) as host numpy arrays."""
+    return self.queue.get()
+
+  def peek(self):
+    """Copy of the queue front without dequeuing."""
+    import time
+    while self.queue.empty():
+      time.sleep(0.01)
+    return self.queue.queue[0].copy()
+
+  def run(self):
+    next_func = self._next_train if self.split == "train" else self._next_test
+    while True:
+      self.queue.put(next_func())
+
+  @property
+  def size(self):
+    return self.n_examples
+
+  def _train_init(self, args):
+    self._load_renderings(args)
+    self._generate_rays()
+    if args.batching == "all_images":
+      self.images = self.images.reshape([-1, 3])
+      self.rays = namedtuple_map(
+          lambda r: r.reshape([-1, r.shape[-1]]), self.rays)
+    elif args.batching == "single_image":
+      self.images = self.images.reshape([-1, self.resolution, 3])
+      self.rays = namedtuple_map(
+          lambda r: r.reshape([-1, self.resolution, r.shape[-1]]), self.rays)
+    else:
+      raise NotImplementedError(
+          f"{args.batching} batching strategy is not implemented.")
+
+  def _test_init(self, args):
+    self._load_renderings(args)
+    self._generate_rays()
+
+  def _next_train(self):
+    if self.batching == "all_images":
+      ray_indices = np.random.choice(
+          self.rays[0].shape[0], (self.batch_size,), replace=False)
+      batch_pixels = self.images[ray_indices]
+      batch_rays = namedtuple_map(lambda r: r[ray_indices], self.rays)
+    elif self.batching == "single_image":
+      image_index = np.random.randint(0, self.n_examples, ())
+      if self.train_it < self.precrop_iters:
+        dh = int(self.h // 2 * self.precrop_frac)
+        dw = int(self.w // 2 * self.precrop_frac)
+        coords = np.arange(self.rays[0][0].shape[0]).reshape(
+            self.h, self.w)[(self.h // 2 - dh):(self.h // 2 + dh),
+                            (self.w // 2 - dw):(self.w // 2 + dw)]
+        ray_indices = np.random.choice(
+            coords.reshape(-1), (self.batch_size,), replace=False)
+      else:
+        ray_indices = np.random.choice(
+            self.rays[0][0].shape[0], (self.batch_size,), replace=False)
+      batch_pixels = self.images[image_index][ray_indices]
+      batch_rays = namedtuple_map(
+          lambda r: r[image_index][ray_indices], self.rays)
+    else:
+      raise NotImplementedError(
+          f"{self.batching} batching strategy is not implemented.")
+
+    # Envmap smoothness patch rays (rnerf/datasets.py:178-197).
+    if self.patch_size > 0:
+      image_index = np.random.randint(0, self.n_examples, ())
+      if self.train_it < self.precrop_iters:
+        dh = int(self.h // 2 * self.precrop_frac)
+        dw = int(self.w // 2 * self.precrop_frac)
+        coords = np.arange(self.rays[0][0].shape[0]).reshape(
+            self.h, self.w)[(self.h // 2 - dh):(self.h // 2 + dh),
+                            (self.w // 2 - dw):(self.w // 2 + dw)]
+      else:
+        coords = np.arange(self.rays[0][0].shape[0]).reshape(self.h, self.w)
+      ph, pw = coords.shape
+      x = np.random.randint(low=0, high=pw - self.patch_size)
+      y = np.random.randint(low=0, high=ph - self.patch_size)
+      ray_indices = coords[y:(y + self.patch_size), x:(x + self.patch_size)]
+      batch_env_rays = namedtuple_map(
+          lambda r: r[image_index][ray_indices], self.rays)
+    else:
+      batch_env_rays = None
+
+    self.train_it += 1
+    return {"pixels": batch_pixels, "rays": batch_rays,
+            "env_rays": batch_env_rays}
+
+  def _next_test(self):
+    idx = self.test_it
+    self.test_it = (self.test_it + 1) % self.n_examples
+    if self.render_path:
+      return {"rays": namedtuple_map(lambda r: r[idx], self.render_rays)}
+    return {"pixels": self.images[idx],
+            "rays": namedtuple_map(lambda r: r[idx], self.rays)}
+
+  def _generate_rays(self):
+    self.rays = rays_lib.generate_pinhole_rays(
+        self.w, self.h, self.focal, self.camtoworlds, self.use_pixel_centers)
+
+
+class Blender(Dataset):
+  """Blender transforms_*.json scenes (rnerf/datasets.py:331-370)."""
+
+  def _load_renderings(self, args):
+    if args.render_path:
+      raise ValueError("render_path cannot be used for the blender dataset.")
+    split = "train" if args.eval_train else self.split
+    with open(path.join(args.data_dir, f"transforms_{split}.json"), "r") as fp:
+      meta = json.load(fp)
+    images, cams = [], []
+    for i in range(0, len(meta["frames"]), args.skip_frames):
+      frame = meta["frames"][i]
+      image = _load_image(
+          os.path.join(args.data_dir, frame["file_path"] + ".png"))
+      image = _maybe_downsample(image, args.factor)
+      cams.append(np.array(frame["transform_matrix"], dtype=np.float32))
+      images.append(image)
+    self.images = _composite_white(np.stack(images, axis=0), args.white_bkgd)
+    self.h, self.w = self.images.shape[1:3]
+    self.resolution = self.h * self.w
+    self.camtoworlds = np.stack(cams, axis=0)
+    camera_angle_x = float(meta["camera_angle_x"])
+    self.focal = 0.5 * self.w / np.tan(0.5 * camera_angle_x)
+    self.n_examples = self.images.shape[0]
+
+
+class NSVF(Dataset):
+  """NSVF-format scenes (rnerf/datasets.py:373-423)."""
+
+  def _load_renderings(self, args):
+    if args.render_path:
+      raise ValueError("render_path cannot be used for the nsvf dataset.")
+    prefix = {"train": 0, "val": 1, "test": 2}
+    with open(os.path.join(args.data_dir, "intrinsics.txt"), "r") as fp:
+      f, _, _, _ = map(float, fp.readline().split())
+    imgfiles = sorted(glob(os.path.join(
+        args.data_dir, "rgb", f"{int(prefix[self.split])}_*.png")))
+    camfiles = sorted(glob(os.path.join(
+        args.data_dir, "pose", f"{int(prefix[self.split])}_*.txt")))
+    images, cams = [], []
+    for i in range(len(imgfiles)):
+      image = _maybe_downsample(_load_image(imgfiles[i]), args.factor)
+      images.append(image)
+      cam = np.loadtxt(camfiles[i], dtype=np.float32)
+      cam[:3, 1:3] *= -1  # flip Y, Z axes
+      cams.append(cam)
+    self.images = _composite_white(np.stack(images, axis=0), args.white_bkgd)
+    self.h, self.w = self.images.shape[1:3]
+    self.resolution = self.h * self.w
+    self.camtoworlds = np.stack(cams, axis=0)
+    self.focal = f * (0.5 if args.factor == 2 else 1.0)
+    self.n_examples = self.images.shape[0]
+
+
+class OpenCV(Dataset):
+  """Calibrated real scenes (+z forward; rnerf/datasets.py:426-518)."""
+
+  def _load_renderings(self, args):
+    if args.render_path:
+      raise ValueError("render_path cannot be used for the opencv dataset.")
+    split = "train" if args.eval_train else self.split
+    with open(path.join(args.data_dir, f"transforms_{split}.json"), "r") as fp:
+      meta = json.load(fp)
+    images, cams = [], []
+    for i in range(0, len(meta["frames"]), args.skip_frames):
+      frame = meta["frames"][i]
+      image = _load_image(os.path.join(args.data_dir, frame["file_path"]))
+      if args.factor > 0:
+        raise ValueError(
+            "Opencv dataset does not support factor, {} set.".format(
+                args.factor))
+      cams.append(np.array(frame["transform_matrix"], dtype=np.float32))
+      images.append(image)
+    self.images = _composite_white(np.stack(images, axis=0), args.white_bkgd)
+    self.h, self.w = self.images.shape[1:3]
+    self.resolution = self.h * self.w
+    self.camtoworlds = np.stack(cams, axis=0)
+    self.cam_mat = meta["cam_mat"]
+    self.n_examples = self.images.shape[0]
+
+  def _next_test(self):
+    """Central crop of test views (rnerf/datasets.py:466-484)."""
+    idx = self.test_it
+    self.test_it = (self.test_it + 1) % self.n_examples
+    if self.precrop_iters > 0:
+      dh = int(self.h // 2 * self.precrop_frac)
+      dw = int(self.w // 2 * self.precrop_frac)
+    else:
+      dh = self.h // 2
+      dw = self.w // 2
+    sl = np.s_[(self.h // 2 - dh):(self.h // 2 + dh),
+               (self.w // 2 - dw):(self.w // 2 + dw)]
+    if self.render_path:
+      return {"rays": namedtuple_map(lambda r: r[idx][sl], self.render_rays)}
+    return {"pixels": self.images[idx][sl],
+            "rays": namedtuple_map(lambda r: r[idx][sl], self.rays)}
+
+  def _generate_rays(self):
+    self.rays = rays_lib.generate_opencv_rays(
+        self.w, self.h, self.cam_mat, self.camtoworlds, self.use_pixel_centers)
+
+
+class LLFF(Dataset):
+  """LLFF forward-facing scenes with NDC rays (rnerf/datasets.py:521-768)."""
+
+  def _load_renderings(self, args):
+    imgdir_suffix = ""
+    if args.factor > 0:
+      imgdir_suffix = "_{}".format(args.factor)
+      factor = args.factor
+    else:
+      factor = 1
+    imgdir = path.join(args.data_dir, "images" + imgdir_suffix)
+    if not os.path.exists(imgdir):
+      raise ValueError("Image folder {} doesn't exist.".format(imgdir))
+    imgfiles = [
+        path.join(imgdir, f) for f in sorted(os.listdir(imgdir))
+        if f.endswith("JPG") or f.endswith("jpg")
+    ]
+    images = [ _load_image(f) for f in imgfiles ]
+    images = np.stack(images, axis=-1)
+
+    with open(path.join(args.data_dir, "poses_bounds.npy"), "rb") as fp:
+      poses_arr = np.load(fp)
+    poses = poses_arr[:, :-2].reshape([-1, 3, 5]).transpose([1, 2, 0])
+    bds = poses_arr[:, -2:].transpose([1, 0])
+    if poses.shape[-1] != images.shape[-1]:
+      raise RuntimeError("Mismatch between imgs {} and poses {}".format(
+          images.shape[-1], poses.shape[-1]))
+
+    poses[:2, 4, :] = np.array(images.shape[:2]).reshape([2, 1])
+    poses[2, 4, :] = poses[2, 4, :] * 1.0 / factor
+
+    poses = np.concatenate(
+        [poses[:, 1:2, :], -poses[:, 0:1, :], poses[:, 2:, :]], 1)
+    poses = np.moveaxis(poses, -1, 0).astype(np.float32)
+    images = np.moveaxis(images, -1, 0)
+    bds = np.moveaxis(bds, -1, 0).astype(np.float32)
+
+    scale = 1.0 / (bds.min() * 0.75)
+    poses[:, :3, 3] *= scale
+    bds *= scale
+    poses = self._recenter_poses(poses)
+
+    if args.spherify:
+      poses = self._generate_spherical_poses(poses, bds)
+      self.spherify = True
+    else:
+      self.spherify = False
+    if not args.spherify and self.split == "test":
+      self._generate_spiral_poses(poses, bds)
+
+    # Reference hardcodes index ranges for its scenes
+    # (rnerf/datasets.py:587-595) — preserved.
+    if self.split == "train":
+      indices = np.arange(100, 200, 1)
+    else:
+      indices = np.arange(0, 100, 1)
+    images = images[indices]
+    poses = poses[indices]
+
+    self.images = images
+    self.camtoworlds = poses[:, :3, :4]
+    self.focal = poses[0, -1, -1]
+    self.h, self.w = images.shape[1:3]
+    self.resolution = self.h * self.w
+    if args.render_path:
+      self.n_examples = self.render_poses.shape[0]
+    else:
+      self.n_examples = images.shape[0]
+
+  def _generate_rays(self):
+    if self.split == "test":
+      n_render_poses = self.render_poses.shape[0]
+      self.camtoworlds = np.concatenate(
+          [self.render_poses, self.camtoworlds], axis=0)
+
+    super()._generate_rays()
+
+    if not self.spherify:
+      ndc_origins, ndc_directions = rays_lib.convert_to_ndc(
+          self.rays.origins, self.rays.directions, self.focal, self.w, self.h)
+      mat = ndc_origins
+      dx = np.sqrt(np.sum((mat[:, :-1, :, :] - mat[:, 1:, :, :])**2, -1))
+      dx = np.concatenate([dx, dx[:, -2:-1, :]], 1)
+      dy = np.sqrt(np.sum((mat[:, :, :-1, :] - mat[:, :, 1:, :])**2, -1))
+      dy = np.concatenate([dy, dy[:, :, -2:-1]], 2)
+      radii = (0.5 * (dx + dy))[..., None] * 2 / np.sqrt(12)
+      self.rays = Rays(
+          origins=ndc_origins,
+          directions=ndc_directions,
+          viewdirs=self.rays.directions,
+          radii=radii)
+
+    if self.split == "test":
+      self.camtoworlds = self.camtoworlds[n_render_poses:]
+      split = [np.split(r, [n_render_poses], 0) for r in self.rays]
+      split0, split1 = zip(*split)
+      self.render_rays = Rays(*split0)
+      self.rays = Rays(*split1)
+
+  def _recenter_poses(self, poses):
+    poses_ = poses.copy()
+    bottom = np.reshape([0, 0, 0, 1.0], [1, 4])
+    c2w = self._poses_avg(poses)
+    c2w = np.concatenate([c2w[:3, :4], bottom], -2)
+    bottom = np.tile(np.reshape(bottom, [1, 1, 4]), [poses.shape[0], 1, 1])
+    poses = np.concatenate([poses[:, :3, :4], bottom], -2)
+    poses = np.linalg.inv(c2w) @ poses
+    poses_[:, :3, :4] = poses[:, :3, :4]
+    return poses_
+
+  def _poses_avg(self, poses):
+    hwf = poses[0, :3, -1:]
+    center = poses[:, :3, 3].mean(0)
+    vec2 = self._normalize(poses[:, :3, 2].sum(0))
+    up = poses[:, :3, 1].sum(0)
+    return np.concatenate([self._viewmatrix(vec2, up, center), hwf], 1)
+
+  def _viewmatrix(self, z, up, pos):
+    vec2 = self._normalize(z)
+    vec0 = self._normalize(np.cross(up, vec2))
+    vec1 = self._normalize(np.cross(vec2, vec0))
+    return np.stack([vec0, vec1, vec2, pos], 1)
+
+  def _normalize(self, x):
+    return x / np.linalg.norm(x)
+
+  def _generate_spiral_poses(self, poses, bds):
+    c2w = self._poses_avg(poses)
+    up = self._normalize(poses[:, :3, 1].sum(0))
+    close_depth, inf_depth = bds.min() * 0.9, bds.max() * 5.0
+    dt = 0.75
+    focal = 1.0 / (((1.0 - dt) / close_depth + dt / inf_depth))
+    tt = poses[:, :3, 3]
+    rads = np.percentile(np.abs(tt), 90, 0)
+    n_views, n_rots = 120, 2
+    render_poses = []
+    rads = np.array(list(rads) + [1.0])
+    hwf = c2w[:, 4:5]
+    zrate = 0.5
+    for theta in np.linspace(0.0, 2.0 * np.pi * n_rots, n_views + 1)[:-1]:
+      c = np.dot(c2w[:3, :4], (np.array(
+          [np.cos(theta), -np.sin(theta), -np.sin(theta * zrate), 1.0])
+          * rads))
+      z = self._normalize(
+          c - np.dot(c2w[:3, :4], np.array([0, 0, -focal, 1.0])))
+      render_poses.append(np.concatenate([self._viewmatrix(z, up, c), hwf], 1))
+    self.render_poses = np.array(render_poses).astype(np.float32)[:, :3, :4]
+
+  def _generate_spherical_poses(self, poses, bds):
+    p34_to_44 = lambda p: np.concatenate([
+        p, np.tile(np.reshape(np.eye(4)[-1, :], [1, 1, 4]),
+                   [p.shape[0], 1, 1])], 1)
+    rays_d = poses[:, :3, 2:3]
+    rays_o = poses[:, :3, 3:4]
+
+    def min_line_dist(rays_o, rays_d):
+      a_i = np.eye(3) - rays_d * np.transpose(rays_d, [0, 2, 1])
+      b_i = -a_i @ rays_o
+      return np.squeeze(-np.linalg.inv(
+          (np.transpose(a_i, [0, 2, 1]) @ a_i).mean(0)) @ (b_i).mean(0))
+
+    center = min_line_dist(rays_o, rays_d)
+    up = (poses[:, :3, 3] - center).mean(0)
+    vec0 = self._normalize(up)
+    vec1 = self._normalize(np.cross([0.1, 0.2, 0.3], vec0))
+    vec2 = self._normalize(np.cross(vec0, vec1))
+    c2w = np.stack([vec1, vec2, vec0, center], 1)
+    poses_reset = (
+        np.linalg.inv(p34_to_44(c2w[None])) @ p34_to_44(poses[:, :3, :4]))
+    rad = np.sqrt(np.mean(np.sum(np.square(poses_reset[:, :3, 3]), -1)))
+    sc = 1.0 / rad
+    poses_reset[:, :3, 3] *= sc
+    bds *= sc
+    rad *= sc
+    centroid = np.mean(poses_reset[:, :3, 3], 0)
+    zh = centroid[2]
+    radcircle = np.sqrt(rad**2 - zh**2)
+    new_poses = []
+    for th in np.linspace(0.0, 2.0 * np.pi, 120):
+      camorigin = np.array(
+          [radcircle * np.cos(th), radcircle * np.sin(th), zh])
+      up = np.array([0, 0, -1.0])
+      vec2 = self._normalize(camorigin)
+      vec0 = self._normalize(np.cross(vec2, up))
+      vec1 = self._normalize(np.cross(vec2, vec0))
+      p = np.stack([vec0, vec1, vec2, camorigin], 1)
+      new_poses.append(p)
+    new_poses = np.stack(new_poses, 0)
+    new_poses = np.concatenate([
+        new_poses,
+        np.broadcast_to(poses[0, :3, -1:], new_poses[:, :3, -1:].shape)], -1)
+    poses_reset = np.concatenate([
+        poses_reset[:, :3, :4],
+        np.broadcast_to(poses[0, :3, -1:], poses_reset[:, :3, -1:].shape)], -1)
+    if self.split == "test":
+      self.render_poses = new_poses[:, :3, :4]
+    return poses_reset
+
+
+class Grid(Dataset):
+  """Boundary-point sampler for sparsity/normal losses.
+
+  Samples 3D points near voxels whose IOR gradient is significant, plus
+  trilinear gradient targets (rnerf/datasets.py:245-328).
+  """
+
+  def __init__(self, split, args, grid, ndim, nmax, nmin, target=None):
+    self.spec = grid_ops.GridSpec(ndim, nmin, nmax)
+    self.ndim = ndim
+    self.nmax = nmax
+    self.nmin = nmin
+    self.ndelta = self.spec.ndelta
+    grad = np.asarray(grid_ops.central_difference_grad(
+        self.spec, np.asarray(grid))).reshape(*self.ndim, 3)
+    if target is None:
+      self.grid = grad
+    else:
+      self.grid = np.asarray(grid_ops.central_difference_grad(
+          self.spec, np.asarray(target))).reshape(*self.ndim, 3)
+    self.candidate_indices = np.stack(
+        np.where(np.linalg.norm(grad, axis=-1) > 1e-3), axis=-1)
+    self.extra_batch_size = args.extra_batch_size // jax.process_count()
+    super().__init__(split, args)
+
+  def _train_init(self, args):
+    self.grid = self.grid.reshape(-1, 3)
+
+  def _next_train(self):
+    batch_indices = np.random.choice(
+        self.candidate_indices.shape[0], self.extra_batch_size)
+    batch_pts = self.candidate_indices[batch_indices] / np.array(self.ndim)[None]
+    batch_pts = (batch_pts * (np.array(self.nmax)[None]
+                              - np.array(self.nmin)[None])
+                 + np.array(self.nmin)[None])
+    batch_pts += (np.random.uniform(low=-1.0, high=1.0, size=batch_pts.shape)
+                  * np.array(self.ndelta)[None])
+    batch_grads = grid_ops.trilinear_numpy(self.spec, self.grid, batch_pts)
+    return {"pts": batch_pts[:, None].astype(np.float32),
+            "grads": batch_grads[:, None].astype(np.float32)}
+
+  def _test_init(self, args):
+    raise NotImplementedError()
+
+  def _next_test(self):
+    raise NotImplementedError()
+
+
+dataset_dict = {
+    "blender": Blender,
+    "llff": LLFF,
+    "nsvf": NSVF,
+    "opencv": OpenCV,
+}

@@ -64,8 +64,9 @@ def march(spec, data, origins, directions, near, step_size, num_samples,
     near: float, distance to start marching at.
     step_size: float h = (far - near) / (num_samples - 1).
     num_samples: int S, number of path vertices.
-    pred_grad_fn: callable [batch, 3] -> [batch, 3] giving the refined
-      gradient (so3-rotated); required when use_pred_grad.
+    pred_grad_fn: callable (pos [batch, 3], grid_grad [batch, 3]) ->
+      [batch, 3] giving the refined gradient (so3-rotated grid gradient);
+      required when use_pred_grad.
     use_pred_grad: bool; if True (stage "all") use the refined gradient
       wherever ||grid grad|| > 1e-3 (rnerf/eikonal_utils.py:34-39).
     unroll: lax.scan unroll factor.
@@ -86,7 +87,7 @@ def march(spec, data, origins, directions, near, step_size, num_samples,
     n = interp[..., :1]
     g = interp[..., 1:]
     if use_pred_grad:
-      refined = pred_grad_fn(rp)
+      refined = pred_grad_fn(rp, g)
       grad = jnp.where(
           jnp.linalg.norm(g, axis=-1, keepdims=True) > 1e-3, refined, g)
     else:

@@ -1,0 +1,89 @@
+"""Checkpointing and staged-training parameter surgery.
+
+Behavioral parity targets (reference SampleNeRFRO):
+  - save/restore via flax.training.checkpoints with the same on-disk naming
+    (checkpoint_<step> msgpack in the stage dir): train.py:322-329,424-427
+  - staged checkpoint surgery (radiance ckpt -> radiance MLPs, ior/all ckpt
+    -> path_sampler): eval.py:124-152
+
+Param tree layout is kept compatible at the subtree level the surgery
+operates on: params/{bkgd_mlp, coarse_mlp, fine_mlp, path_sampler}.
+"""
+
+import os
+from os import path
+
+import flax
+import jax
+from flax.training import checkpoints as flax_ckpt
+
+
+def save_checkpoint(stage_dir, state, step, keep=100):
+  """Host-0 checkpoint write from (replicated) state."""
+  if jax.process_index() != 0:
+    return
+  state = jax.device_get(state)
+  flax_ckpt.save_checkpoint(os.path.abspath(stage_dir), state, int(step),
+                            keep=keep, overwrite=True)
+
+
+def restore_checkpoint(stage_dir, state):
+  """Resume from the latest checkpoint in stage_dir (or return state)."""
+  return flax_ckpt.restore_checkpoint(os.path.abspath(stage_dir), state)
+
+
+def latest_step(stage_dir):
+  """Step of the newest checkpoint in the dir, or None."""
+  latest = flax_ckpt.latest_checkpoint(os.path.abspath(stage_dir))
+  if latest is None:
+    return None
+  return int(latest.rsplit("_", 1)[-1])
+
+
+def load_stage_variables(variables, train_dir, cfg, stage, num_fine_samples):
+  """Merge pretrained stage checkpoints into a fresh variables tree.
+
+  Mirrors eval.py:124-152: radiance/ior stages pull the radiance MLPs from
+  cfg.radiance_weight_name's checkpoint; the ior stage additionally pulls
+  path_sampler from cfg.ior_weight_name; the all stage pulls everything
+  from cfg.all_weight_name.
+
+  Returns:
+    (variables, step) with the merged params and the checkpoint step.
+  """
+  variables = flax.core.unfreeze(variables)
+
+  def _restore(name):
+    restored = flax_ckpt.restore_checkpoint(
+        os.path.abspath(path.join(train_dir, name)), None)
+    if restored is None:
+      raise FileNotFoundError(
+          f"no checkpoint found under {path.join(train_dir, name)}")
+    return restored
+
+  if stage.startswith("radiance") or stage.startswith("ior"):
+    pretrain = _restore(cfg.radiance_weight_name)
+    step = int(pretrain["step"])
+    src = pretrain["params"]["params"]
+    variables["params"]["bkgd_mlp"] = src["bkgd_mlp"]
+    variables["params"]["coarse_mlp"] = src["coarse_mlp"]
+    if num_fine_samples > 0:
+      variables["params"]["fine_mlp"] = src["fine_mlp"]
+    if stage.startswith("ior"):
+      pretrain = _restore(cfg.ior_weight_name)
+      step = int(pretrain["step"])
+      variables["params"]["path_sampler"] = (
+          pretrain["params"]["params"]["path_sampler"])
+  elif stage.startswith("all"):
+    pretrain = _restore(cfg.all_weight_name)
+    step = int(pretrain["step"])
+    src = pretrain["params"]["params"]
+    variables["params"]["bkgd_mlp"] = src["bkgd_mlp"]
+    variables["params"]["coarse_mlp"] = src["coarse_mlp"]
+    if num_fine_samples > 0:
+      variables["params"]["fine_mlp"] = src["fine_mlp"]
+    variables["params"]["path_sampler"] = src["path_sampler"]
+  else:
+    raise ValueError(f"unknown stage {stage}")
+
+  return flax.core.freeze(variables), step

@@ -1,0 +1,231 @@
+"""Flag/YAML/gin three-tier config system.
+
+Behavioral parity targets (reference SampleNeRFRO):
+  - define_flags (~70 absl flags, same names/defaults): rnerf/utils.py:87-245
+  - update_flags (YAML overlay, validated keys): rnerf/utils.py:248-257
+  - gin Config dataclass: rnerf/utils.py:75-85
+  - flag/config snapshots per stage dir: rnerf/utils.py:260-277
+
+The gin layer is provided by utils/gin_lite.py (same file syntax); parsed
+bindings are returned as a dict and threaded into model construction.
+"""
+
+import dataclasses
+import os
+from shutil import copyfile
+
+import yaml
+from absl import flags
+
+from samplenerfro_tpu.utils import gin_lite
+
+BASE_DIR = "./"
+
+DATASET_NAMES = ["blender", "llff", "nsvf", "opencv"]
+
+
+@dataclasses.dataclass
+class Config:
+  """gin-configurable global config (reference rnerf/utils.py:75-85)."""
+  kernel_size: int = 3
+  kernel_sigma: float = 1.0
+  voxel_grid: str = "voxelize"
+  radiance_weight_name: str = "radiance"
+  ior_weight_name: str = "ior"
+  all_weight_name: str = "all"
+
+  @classmethod
+  def from_gin(cls, bindings):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+      key = f"Config.{f.name}"
+      if key in bindings and bindings[key] is not None:
+        kwargs[f.name] = bindings[key]
+    return cls(**kwargs)
+
+
+def define_flags():
+  """Define the training/eval flag surface (names match the reference)."""
+  flags.DEFINE_multi_string("gin_file", None,
+                            "List of paths to the config files.")
+  flags.DEFINE_multi_string(
+      "gin_param", None, "Newline separated list of Gin parameter bindings.")
+
+  flags.DEFINE_string("train_dir", None, "where to store ckpts and logs")
+  flags.DEFINE_string("stage_dir", None,
+                      "where to store ckpts and logs of stage")
+  flags.DEFINE_string("data_dir", None, "input data directory.")
+  flags.DEFINE_string("config", None,
+                      "using config files to set hyperparameters.")
+
+  # Dataset flags.
+  flags.DEFINE_enum("dataset", "blender", DATASET_NAMES,
+                    "The type of dataset feed to nerf.")
+  flags.DEFINE_enum(
+      "batching", "single_image", ["single_image", "all_images"],
+      "source of ray sampling when collecting training batch")
+  flags.DEFINE_bool("white_bkgd", True,
+                    "using white color as default background.")
+  flags.DEFINE_integer("batch_size", 1024,
+                       "the number of rays in a mini-batch (for training).")
+  flags.DEFINE_integer("factor", 4,
+                       "the downsample factor of images, 0 for no downsample.")
+  flags.DEFINE_bool("spherify", False, "set for spherical 360 scenes.")
+  flags.DEFINE_bool("render_path", False,
+                    "render generated path if set true (llff only).")
+  flags.DEFINE_integer("llffhold", 8,
+                       "will take every 1/N images as LLFF test set.")
+  flags.DEFINE_bool("use_pixel_centers", False,
+                    "If True, generate rays through the center of each pixel.")
+  flags.DEFINE_string("stage", "radiance", "stage of training strategy")
+  flags.DEFINE_integer("skip_frames", 1,
+                       "skip per-N images when collecting dataset")
+
+  # Model flags.
+  flags.DEFINE_string("model", "nerf", "name of model to use.")
+  flags.DEFINE_float("near", 2.0, "near clip of volumetric rendering.")
+  flags.DEFINE_float("far", 6.0, "far clip of volumentric rendering.")
+  flags.DEFINE_integer("net_depth", 8, "depth of the first part of MLP.")
+  flags.DEFINE_integer("net_width", 256, "width of the first part of MLP.")
+  flags.DEFINE_integer("net_depth_condition", 1,
+                       "depth of the second part of MLP.")
+  flags.DEFINE_integer("net_width_condition", 128,
+                       "width of the second part of MLP.")
+  flags.DEFINE_float("weight_decay_mult", 0, "The multiplier on weight decay")
+  flags.DEFINE_integer("skip_layer", 4,
+                       "add a skip connection every skip_layer layers.")
+  flags.DEFINE_integer("num_rgb_channels", 3, "the number of RGB channels.")
+  flags.DEFINE_integer("num_sigma_channels", 1,
+                       "the number of density channels.")
+  flags.DEFINE_bool("randomized", True, "use randomized stratified sampling.")
+  flags.DEFINE_integer("min_deg_point", 0,
+                       "Minimum degree of positional encoding for points.")
+  flags.DEFINE_integer("max_deg_point", 10,
+                       "Maximum degree of positional encoding for points.")
+  flags.DEFINE_integer("deg_view", 4,
+                       "Degree of positional encoding for viewdirs.")
+  flags.DEFINE_integer("num_coarse_samples", 64,
+                       "the number of coarse samples on each ray.")
+  flags.DEFINE_integer("num_fine_samples", 128,
+                       "the number of fine samples on each ray.")
+  flags.DEFINE_bool("use_viewdirs", True, "use view directions as condition.")
+  flags.DEFINE_integer("sh_deg", -1,
+                       "set to use SH output up to given degree, -1=disable.")
+  flags.DEFINE_integer("sh_direnc_deg", -1,
+                       "If > 0, use SH polynomial directional encoding.")
+  flags.DEFINE_float("noise_std", None,
+                     "std dev of noise added to regularize sigma output.")
+  flags.DEFINE_bool("lindisp", False,
+                    "sampling linearly in disparity rather than depth.")
+  flags.DEFINE_string("net_activation", "relu",
+                      "activation function used within the MLP.")
+  flags.DEFINE_string("rgb_activation", "sigmoid",
+                      "activation function used to produce RGB.")
+  flags.DEFINE_string("sigma_activation", "softplus",
+                      "activation function used to produce density.")
+  flags.DEFINE_bool("legacy_posenc_order", False,
+                    "If True, revert to the legacy PE feature ordering.")
+
+  # Train flags.
+  flags.DEFINE_float("lr_init", 5e-4, "The initial learning rate.")
+  flags.DEFINE_float("lr_final", 5e-6, "The final learning rate.")
+  flags.DEFINE_integer("lr_delay_steps", 2500,
+                       "warmup steps with reduced learning rate.")
+  flags.DEFINE_float("lr_delay_mult", 0.01,
+                     "LR multiplier during the warmup window.")
+  flags.DEFINE_float("grad_max_norm", 0.0,
+                     "gradient clipping magnitude (disabled if == 0).")
+  flags.DEFINE_float("grad_max_val", 0.0,
+                     "gradient clipping value (disabled if == 0).")
+  flags.DEFINE_integer("max_steps", 1000000,
+                       "the number of optimization steps.")
+  flags.DEFINE_integer("save_every", 10000,
+                       "the number of steps to save a checkpoint.")
+  flags.DEFINE_integer("print_every", 100,
+                       "the number of steps between tensorboard reports.")
+  flags.DEFINE_integer("render_every", 5000,
+                       "the number of steps to render a test image.")
+  flags.DEFINE_integer("gc_every", 10000,
+                       "the number of steps to run garbage collection.")
+  flags.DEFINE_integer("precrop_iters", 0,
+                       "number of steps to train on central crops.")
+  flags.DEFINE_float("precrop_frac", 0.5,
+                     "fraction of img taken for central crops.")
+  flags.DEFINE_integer("num_path_samples", 8,
+                       "the number of super-sampled eikonal path")
+  flags.DEFINE_float("sparsity_weight", 0.0, "sparsity loss weight")
+  flags.DEFINE_bool("use_fine_sparsity", False,
+                    "also apply sparsity to the fine MLP")
+  flags.DEFINE_bool("use_online_sparsity", True,
+                    "use in-path sparsity instead of the extra dataset")
+  flags.DEFINE_integer("extra_batch_size", 1024,
+                       "batch size for extra dataset")
+  flags.DEFINE_float("normal_loss_weight", 0.0, "normal loss weight")
+  flags.DEFINE_float("normal_smooth_weight", 0.0, "normal smooth weight")
+  flags.DEFINE_integer("anneal_delay_steps", 80000,
+                       "annealing start step for PE frequency easing")
+  flags.DEFINE_integer("anneal_max_steps", 160000,
+                       "step at which PE annealing reaches max frequency")
+  flags.DEFINE_float("beta_weight", 0.0,
+                     "beta distribution prior in Neural Volume")
+  flags.DEFINE_float("bg_weight", 0.0,
+                     "boundary loss for density regularization")
+  flags.DEFINE_float("bg_smooth_weight", 0.0, "envmap smoothness weight")
+  flags.DEFINE_integer("bg_patch_size", 0, "envmap patch size")
+
+  # Eval flags.
+  flags.DEFINE_bool("eval_once", True,
+                    "evaluate once, or keep watching for new checkpoints.")
+  flags.DEFINE_bool("save_output", True,
+                    "save predicted images to disk if True.")
+  flags.DEFINE_integer("chunk", 8192,
+                       "the size of chunks for evaluation inferences.")
+  flags.DEFINE_bool("eval_train", False, "evaluate the training views")
+
+  # TPU-specific additions (not present in the reference).
+  flags.DEFINE_string("matmul_precision", "highest",
+                      "jax default matmul precision: highest|float32|"
+                      "tensorfloat32|bfloat16_3x|bfloat16|default.")
+  flags.DEFINE_bool("profile", False,
+                    "capture a jax profiler trace of a few train steps.")
+  flags.DEFINE_integer("scan_unroll", 8,
+                       "unroll factor for the eikonal march lax.scan.")
+
+
+def update_flags(args):
+  """Overlay YAML config onto flags; reject unknown keys."""
+  pth = os.path.join(BASE_DIR, args.config + ".yaml")
+  with open(pth, "r") as fin:
+    configs = yaml.load(fin, Loader=yaml.FullLoader)
+  invalid_args = list(set(configs.keys()) - set(dir(args)))
+  if invalid_args:
+    raise ValueError(f"Invalid args {invalid_args} in {pth}.")
+  args.__dict__.update(configs)
+
+
+def load_config(flag_values=None):
+  """Parse gin files/params -> (Config, bindings dict)."""
+  fv = flag_values if flag_values is not None else flags.FLAGS
+  bindings = gin_lite.parse_files_and_bindings(fv.gin_file, fv.gin_param)
+  return Config.from_gin(bindings), bindings
+
+
+def save_flags(args):
+  copyfile(os.path.join(BASE_DIR, args.config + ".yaml"),
+           os.path.join(args.stage_dir, "flags.yaml"))
+  with open(os.path.join(args.stage_dir, "flags.txt"), "w") as f:
+    f.write(flags.FLAGS.flags_into_string())
+
+
+def save_config(args, bindings):
+  copyfile(os.path.join(BASE_DIR, args.config + ".gin"),
+           os.path.join(args.stage_dir, "config.gin"))
+  with open(os.path.join(args.stage_dir, "config.txt"), "w") as f:
+    f.write(gin_lite.config_str(bindings))
+
+
+def apply_matmul_precision(precision):
+  """Set the session default matmul precision (TPU parity/perf knob)."""
+  import jax
+  if precision and precision != "default":
+    jax.config.update("jax_default_matmul_precision", precision)

@@ -89,7 +89,7 @@ def test_march_pred_grad_override():
   d = jnp.asarray([[0.0, 0.0, 1.0]])
 
   # Refined gradient points along -x instead of +x: the ray must bend -x.
-  pred_fn = lambda rp: jnp.broadcast_to(jnp.asarray([-0.2, 0.0, 0.0]), rp.shape)
+  pred_fn = lambda rp, g: jnp.broadcast_to(jnp.asarray([-0.2, 0.0, 0.0]), rp.shape)
   pos, *_ = eik_ops.march(spec, data, o, d, 0.0, 0.05, 40,
                           pred_grad_fn=pred_fn, use_pred_grad=True)
   assert float(pos[0, -1, 0]) < -1e-3

@@ -1,0 +1,131 @@
+"""Tests for the jitted train step, staged optimizers, and sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax.training.train_state import TrainState
+from jax import random
+
+from samplenerfro_tpu.models import construct_nerf
+from samplenerfro_tpu.parallel import mesh as mesh_lib
+from samplenerfro_tpu.train import step as step_lib
+from tests import helpers
+
+
+def _setup(args=None, blob=False):
+  args = args or helpers.tiny_args()
+  if blob:
+    ndim, nmin, nmax, grid = helpers.make_blob_grid()
+  else:
+    ndim, nmin, nmax, grid = helpers.make_grid()
+  rays = helpers.make_rays()
+  model, variables = construct_nerf(
+      random.PRNGKey(0), {"rays": rays}, args, ndim, nmin, nmax, grid)
+  grid_vars = {"grid": variables["grid"]}
+  tx, _, _ = step_lib.create_optimizer(args)
+  state = TrainState.create(apply_fn=model.apply,
+                            params=variables["params"], tx=tx)
+  return model, state, grid_vars, rays, args
+
+
+def _tree_delta(a, b):
+  return jax.tree_util.tree_reduce(
+      lambda acc, x: acc + float(jnp.sum(jnp.abs(x))),
+      jax.tree_util.tree_map(lambda p, q: p - q, a, b), 0.0)
+
+
+def test_radiance_stage_trains_mlps_freezes_path_sampler():
+  model, state, grid_vars, rays, args = _setup()
+  tstep = step_lib.make_train_step(model, args, grid_vars, donate=False)
+  batch = helpers.make_batch(rays)
+  # The LR schedule yields 0 at optimizer count 0 (training starts at step 1
+  # in the reference too), so run two steps before checking for movement.
+  state1, stats, rng = tstep(random.PRNGKey(3), state, batch)
+  state2, stats, _ = tstep(rng, state1, batch)
+  assert np.isfinite(float(stats.loss))
+  assert _tree_delta(state.params["path_sampler"],
+                     state2.params["path_sampler"]) == 0.0
+  assert _tree_delta(state.params["coarse_mlp"],
+                     state2.params["coarse_mlp"]) > 0.0
+  assert _tree_delta(state.params["bkgd_mlp"],
+                     state2.params["bkgd_mlp"]) > 0.0
+
+
+def test_all_stage_trains_path_sampler():
+  args = helpers.tiny_args(stage="all_test", lr_delay_steps=0)
+  model, state, grid_vars, rays, args = _setup(args, blob=True)
+  tstep = step_lib.make_train_step(model, args, grid_vars, donate=False)
+  batch = helpers.make_batch(rays)
+  state1, stats, rng = tstep(random.PRNGKey(3), state, batch)
+  state2, stats, _ = tstep(rng, state1, batch)
+  assert np.isfinite(float(stats.loss))
+  assert _tree_delta(state.params["path_sampler"],
+                     state2.params["path_sampler"]) > 0.0
+
+
+def test_loss_decreases_on_overfit():
+  """A few steps on a fixed batch reduce the photometric loss."""
+  model, state, grid_vars, rays, args = _setup(
+      helpers.tiny_args(lr_delay_steps=0, lr_init=5e-3, bg_weight=0.0,
+                        bg_smooth_weight=0.0))
+  tstep = step_lib.make_train_step(model, args, grid_vars, donate=False)
+  batch = helpers.make_batch(rays)
+  rng = random.PRNGKey(3)
+  losses = []
+  for _ in range(30):
+    state, stats, rng = tstep(rng, state, batch)
+    losses.append(float(stats.loss))
+  assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
+
+
+def test_grad_clipping_by_value():
+  args = helpers.tiny_args(grad_max_val=1e-9, grad_max_norm=0.0)
+  model, state, grid_vars, rays, args = _setup(args)
+  tstep = step_lib.make_train_step(model, args, grid_vars, donate=False)
+  batch = helpers.make_batch(rays)
+  state2, _, _ = tstep(random.PRNGKey(3), state, batch)
+  # With clip value ~0 the params barely move.
+  assert _tree_delta(state.params["coarse_mlp"],
+                     state2.params["coarse_mlp"]) < 1e-2
+
+
+def test_param_labels_cover_tree():
+  for stage in ("radiance", "ior", "all"):
+    labels = step_lib.param_labels_for_stage(stage, 128)
+    assert set(labels.keys()) >= {"path_sampler", "bkgd_mlp", "coarse_mlp"}
+
+
+def test_sharded_step_matches_single_device():
+  """The jitted step under an 8-device mesh reproduces single-device math."""
+  model, state, grid_vars, rays, args = _setup()
+  tstep = step_lib.make_train_step(model, args, grid_vars, donate=False)
+  batch = helpers.make_batch(rays)
+
+  # Single device result (two steps; the first has lr 0).
+  s1, _, rng1 = tstep(random.PRNGKey(3), state, batch)
+  s1, stats1, _ = tstep(rng1, s1, batch)
+
+  # Mesh-sharded result.
+  mesh = mesh_lib.make_mesh(jax.devices("cpu"))
+  assert mesh.devices.size == 8
+  sharded_batch = mesh_lib.put_batch(batch, mesh)
+  repl = mesh_lib.replicated_sharding(mesh)
+  state_r = jax.device_put(state, repl)
+  s2, _, rng2 = tstep(jax.device_put(random.PRNGKey(3), repl), state_r,
+                      sharded_batch)
+  s2, stats2, _ = tstep(rng2, s2, sharded_batch)
+  # Reduction order differs across shards; allow small float drift.
+  np.testing.assert_allclose(float(stats1.loss), float(stats2.loss),
+                             rtol=1e-3)
+  np.testing.assert_allclose(
+      np.array(s1.params["coarse_mlp"]["Dense_0"]["kernel"]),
+      np.array(s2.params["coarse_mlp"]["Dense_0"]["kernel"]), atol=1e-4)
+
+
+def test_ior_stage_runs():
+  args = helpers.tiny_args(stage="ior_test")
+  model, state, grid_vars, rays, args = _setup(args)
+  tstep = step_lib.make_train_step(model, args, grid_vars, donate=False)
+  batch = helpers.make_batch(rays)
+  state2, stats, _ = tstep(random.PRNGKey(3), state, batch)
+  assert np.isfinite(float(stats.loss_nrm))
