@@ -1,0 +1,136 @@
+"""Benchmark: training throughput (rays/sec) at the reference's workload.
+
+Runs the full radiance-stage train step at the ship-scene scale
+(batch 1024 rays, 64 coarse + 128 fine samples, 12 eikonal path samples,
+8x256 MLPs, 128^3 IOR grid) on the available accelerator and prints ONE
+JSON line:
+
+  {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s",
+   "vs_baseline": N / REFERENCE_3090_RAYS_PER_SEC}
+
+vs_baseline divides by an RTX-3090 estimate for the reference code
+(the reference repo publishes no numbers — BASELINE.md; 3090 JaxNeRF-class
+trainers with a 768-step eikonal scan per ray run ~2-4k rays/s, we use 3000).
+"""
+
+import json
+import time
+import types
+
+import jax
+import numpy as np
+from flax.training.train_state import TrainState
+from jax import random
+
+from samplenerfro_tpu.data.rays import Rays
+from samplenerfro_tpu.models import construct_nerf
+from samplenerfro_tpu.parallel import mesh as mesh_lib
+from samplenerfro_tpu.train import step as step_lib
+
+REFERENCE_3090_RAYS_PER_SEC = 3000.0
+
+BATCH = 1024
+GRID_N = 128
+
+
+def ship_args(**overrides):
+  args = types.SimpleNamespace(
+      model="nerf", net_activation="relu", rgb_activation="sigmoid",
+      sigma_activation="softplus",
+      min_deg_point=0, max_deg_point=10, deg_view=4,
+      num_coarse_samples=64, num_fine_samples=128,
+      use_viewdirs=True, sh_deg=-1, sh_direnc_deg=-1,
+      near=2.0, far=6.0, noise_std=None, white_bkgd=False,
+      net_depth=8, net_width=256, net_depth_condition=1,
+      net_width_condition=128,
+      skip_layer=4, num_rgb_channels=3, num_sigma_channels=1, lindisp=False,
+      legacy_posenc_order=False, randomized=True,
+      stage="radiance_bench", num_path_samples=12,
+      use_fine_sparsity=False, use_online_sparsity=False,
+      config="ship_skydome-bkgd_no-partial-reflect_cycles",
+      bg_weight=0.025, bg_smooth_weight=1.0, bg_patch_size=128,
+      beta_weight=0.0, sparsity_weight=0.0,
+      normal_loss_weight=0.0, normal_smooth_weight=0.0,
+      weight_decay_mult=0.0, grad_max_val=0.0, grad_max_norm=0.0,
+      lr_init=5e-4, lr_final=5e-6, max_steps=200000, lr_delay_steps=2500,
+      lr_delay_mult=0.01, anneal_delay_steps=2500, anneal_max_steps=160000,
+      extra_batch_size=16, scan_unroll=8)
+  for k, v in overrides.items():
+    setattr(args, k, v)
+  return args
+
+
+def make_inputs(batch, seed=0):
+  rng = np.random.RandomState(seed)
+  d = rng.randn(batch, 3)
+  d /= np.linalg.norm(d, axis=-1, keepdims=True)
+  o = rng.randn(batch, 3) * 0.1
+  rays = Rays(
+      origins=o.astype(np.float32),
+      directions=d.astype(np.float32),
+      viewdirs=d.astype(np.float32),
+      radii=np.full((batch, 1), 0.001, np.float32))
+  env = Rays(*[rng.randn(128, 128, 3).astype(np.float32) for _ in range(4)])
+  return {
+      "pixels": rng.rand(batch, 3).astype(np.float32),
+      "rays": rays,
+      "env_rays": env,
+      "pts": rng.randn(16, 1, 3).astype(np.float32),
+      "grads": rng.randn(16, 1, 3).astype(np.float32),
+      "annealed_alpha": np.float32(0.5),
+      "coarse_alpha_target": np.float32(0.0),
+      "fine_alpha_target": np.float32(0.0),
+  }
+
+
+def blob_grid(n):
+  axes = np.linspace(-1.5, 1.5, n)
+  xx, yy, zz = np.meshgrid(axes, axes, axes, indexing="ij")
+  vals = 1.0 + 0.5 * np.exp(-(xx**2 + yy**2 + zz**2) / 0.25)
+  return vals.reshape(-1, 1).astype(np.float32)
+
+
+def main():
+  args = ship_args()
+  grid = blob_grid(GRID_N)
+  batch = make_inputs(BATCH)
+
+  model, variables = construct_nerf(
+      random.PRNGKey(0), {"rays": batch["rays"]}, args,
+      [GRID_N] * 3, [-1.5] * 3, [1.5] * 3, grid)
+
+  mesh = mesh_lib.make_mesh()
+  grid_vars = {"grid": jax.device_put(
+      dict(variables["grid"]), mesh_lib.replicated_sharding(mesh))}
+  tx, _, _ = step_lib.create_optimizer(args)
+  state = TrainState.create(apply_fn=model.apply,
+                            params=variables["params"], tx=tx)
+  state = jax.device_put(state, mesh_lib.replicated_sharding(mesh))
+  tstep = step_lib.make_train_step(model, args, grid_vars)
+
+  dbatch = mesh_lib.put_batch(batch, mesh)
+  keys = random.PRNGKey(1)
+
+  # Warmup / compile.
+  for _ in range(3):
+    state, stats, keys = tstep(keys, state, dbatch)
+  jax.block_until_ready(state.params)
+
+  n_steps = 20
+  t0 = time.perf_counter()
+  for _ in range(n_steps):
+    state, stats, keys = tstep(keys, state, dbatch)
+  jax.block_until_ready(state.params)
+  dt = time.perf_counter() - t0
+
+  rays_per_sec = BATCH * n_steps / dt
+  print(json.dumps({
+      "metric": "train_rays_per_sec",
+      "value": round(rays_per_sec, 1),
+      "unit": "rays/s",
+      "vs_baseline": round(rays_per_sec / REFERENCE_3090_RAYS_PER_SEC, 3),
+  }))
+
+
+if __name__ == "__main__":
+  main()

@@ -465,13 +465,15 @@ def construct_nerf(key, example_batch, args, ndim, nmin, nmax, grid,
   )
 
   # Batches are flat [batch, ...] host arrays (no per-device leading axis as
-  # in the reference's pmap layout); init consumes the example rays directly.
-  rays = example_batch["rays"]
+  # in the reference's pmap layout). Test examples come as [h, w, C]; init
+  # only needs feature dims, so flatten and trim to a few rays.
+  rays = jax.tree_util.tree_map(
+      lambda x: jnp.asarray(x).reshape(-1, x.shape[-1])[:4],
+      example_batch["rays"])
   key1, key2, key3 = random.split(key, num=3)
-  init_variables = model.init(
-      key1,
-      rng_0=key2,
-      rng_1=key3,
-      rays=rays,
-      randomized=args.randomized)
+  # Jit the init: eager flax init dispatches thousands of tiny ops (the
+  # march scan), which is very slow on multi-device backends.
+  init_fn = jax.jit(lambda k1, k2, k3, r: model.init(
+      k1, rng_0=k2, rng_1=k3, rays=r, randomized=args.randomized))
+  init_variables = init_fn(key1, key2, key3, rays)
   return model, init_variables

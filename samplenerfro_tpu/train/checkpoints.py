@@ -43,7 +43,10 @@ def latest_step(stage_dir):
 def load_stage_variables(variables, train_dir, cfg, stage, num_fine_samples):
   """Merge pretrained stage checkpoints into a fresh variables tree.
 
-  Mirrors eval.py:124-152: radiance/ior stages pull the radiance MLPs from
+  Mirrors eval.py:124-152 (note: our TrainState.params holds the params
+  tree directly, so checkpoints have one less nesting level than the
+  reference's state.params = whole-variables layout): radiance/ior stages
+  pull the radiance MLPs from
   cfg.radiance_weight_name's checkpoint; the ior stage additionally pulls
   path_sampler from cfg.ior_weight_name; the all stage pulls everything
   from cfg.all_weight_name.
@@ -64,7 +67,7 @@ def load_stage_variables(variables, train_dir, cfg, stage, num_fine_samples):
   if stage.startswith("radiance") or stage.startswith("ior"):
     pretrain = _restore(cfg.radiance_weight_name)
     step = int(pretrain["step"])
-    src = pretrain["params"]["params"]
+    src = pretrain["params"]
     variables["params"]["bkgd_mlp"] = src["bkgd_mlp"]
     variables["params"]["coarse_mlp"] = src["coarse_mlp"]
     if num_fine_samples > 0:
@@ -73,11 +76,11 @@ def load_stage_variables(variables, train_dir, cfg, stage, num_fine_samples):
       pretrain = _restore(cfg.ior_weight_name)
       step = int(pretrain["step"])
       variables["params"]["path_sampler"] = (
-          pretrain["params"]["params"]["path_sampler"])
+          pretrain["params"]["path_sampler"])
   elif stage.startswith("all"):
     pretrain = _restore(cfg.all_weight_name)
     step = int(pretrain["step"])
-    src = pretrain["params"]["params"]
+    src = pretrain["params"]
     variables["params"]["bkgd_mlp"] = src["bkgd_mlp"]
     variables["params"]["coarse_mlp"] = src["coarse_mlp"]
     if num_fine_samples > 0:

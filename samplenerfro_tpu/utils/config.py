@@ -39,7 +39,7 @@ class Config:
     kwargs = {}
     for f in dataclasses.fields(cls):
       key = f"Config.{f.name}"
-      if key in bindings and bindings[key] is not None:
+      if key in bindings:
         kwargs[f.name] = bindings[key]
     return cls(**kwargs)
 
@@ -222,6 +222,18 @@ def save_config(args, bindings):
            os.path.join(args.stage_dir, "config.gin"))
   with open(os.path.join(args.stage_dir, "config.txt"), "w") as f:
     f.write(gin_lite.config_str(bindings))
+
+
+def apply_platform_overrides():
+  """Honor SAMPLENERFRO_FORCE_CPU even when a TPU plugin self-registers.
+
+  Some images register a TPU PJRT plugin via sitecustomize and set
+  jax_platforms programmatically; tests/subprocesses that must run on CPU
+  set this env var.
+  """
+  import jax
+  if os.environ.get("SAMPLENERFRO_FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 
 def apply_matmul_precision(precision):

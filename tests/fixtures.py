@@ -1,0 +1,142 @@
+"""Synthetic scene fixture generator for end-to-end tests.
+
+Builds a tiny Blender-format scene (transforms_*.json + PNGs) and a
+reference-schema voxelize/mesh.pkl (sphere occupancy), so e2e tests are
+fully self-contained.
+"""
+
+import json
+import os
+import pickle
+
+import numpy as np
+
+
+def look_at_pose(eye, target=(0.0, 0.0, 0.0), up=(0.0, 0.0, 1.0)):
+  """Blender/NeRF c2w: x right, y up, camera looks down -z."""
+  eye = np.asarray(eye, np.float64)
+  target = np.asarray(target, np.float64)
+  up = np.asarray(up, np.float64)
+  forward = eye - target  # -z axis points AT the target
+  forward /= np.linalg.norm(forward)
+  right = np.cross(up, forward)
+  right /= np.linalg.norm(right)
+  true_up = np.cross(forward, right)
+  c2w = np.eye(4)
+  c2w[:3, 0] = right
+  c2w[:3, 1] = true_up
+  c2w[:3, 2] = forward
+  c2w[:3, 3] = eye
+  return c2w
+
+
+def make_scene(data_dir, num_train=3, num_val=1, num_test=1, res=24,
+               radius=4.0, grid_n=16, extent=1.5, seed=0):
+  """Write a synthetic scene; returns data_dir.
+
+  Images are simple view-dependent gradients (enough for the loss to have
+  signal); the proxy mesh.pkl is a sphere occupancy with IOR 1.33 inside.
+  """
+  from PIL import Image
+  rng = np.random.RandomState(seed)
+  os.makedirs(os.path.join(data_dir, "imgs"), exist_ok=True)
+  os.makedirs(os.path.join(data_dir, "voxelize"), exist_ok=True)
+
+  counts = {"train": num_train, "val": num_val, "test": num_test}
+  idx = 0
+  for split, count in counts.items():
+    frames = []
+    for _ in range(count):
+      theta = rng.uniform(0, 2 * np.pi)
+      phi = rng.uniform(0.2, 1.2)
+      eye = radius * np.array([
+          np.cos(theta) * np.cos(phi),
+          np.sin(theta) * np.cos(phi),
+          np.sin(phi)])
+      c2w = look_at_pose(eye)
+      # A smooth gradient image + alpha ring, deterministic per view.
+      yy, xx = np.mgrid[0:res, 0:res] / res
+      img = np.stack([
+          0.5 + 0.5 * np.cos(theta) * xx,
+          0.5 + 0.5 * np.sin(theta) * yy,
+          0.5 * (xx + yy) / 2 + 0.25,
+          np.ones_like(xx)], axis=-1)
+      name = f"imgs/r_{idx}"
+      Image.fromarray((img * 255).astype(np.uint8)).save(
+          os.path.join(data_dir, name + ".png"))
+      frames.append({"file_path": name,
+                     "transform_matrix": c2w.tolist()})
+      idx += 1
+    meta = {"camera_angle_x": 0.6911112070083618, "frames": frames}
+    with open(os.path.join(data_dir, f"transforms_{split}.json"), "w") as f:
+      json.dump(meta, f)
+
+  # Sphere occupancy grid in reference mesh.pkl schema
+  # (voxelize_mesh.py:109-116).
+  axes = np.linspace(-extent, extent, grid_n)
+  xx, yy, zz = np.meshgrid(axes, axes, axes, indexing="ij")
+  inside = (xx**2 + yy**2 + zz**2) < 1.0
+  data = np.where(inside, 1.33, 1.0).reshape(-1, 1).astype(np.float64)
+  with open(os.path.join(data_dir, "voxelize", "mesh.pkl"), "wb") as f:
+    pickle.dump({
+        "data": data,
+        "extent": extent,
+        "min_point": [-1, -1, -1],
+        "max_point": [1, 1, 1],
+        "num_voxels": grid_n,
+    }, f)
+  return data_dir
+
+
+def write_tiny_config(cfg_dir, name="smoke"):
+  """Write a tiny yaml+gin config pair for fast CPU smoke runs."""
+  os.makedirs(cfg_dir, exist_ok=True)
+  yaml_text = """\
+dataset: blender
+batching: single_image
+factor: 0
+batch_size: 32
+num_coarse_samples: 8
+num_fine_samples: 16
+num_path_samples: 2
+use_viewdirs: true
+white_bkgd: false
+use_pixel_centers: true
+randomized: true
+max_steps: 3
+lr_delay_steps: 0
+render_every: 0
+save_every: 3
+print_every: 1
+sh_deg: -1
+sh_direnc_deg: -1
+sparsity_weight: 0.0
+use_online_sparsity: false
+extra_batch_size: 8
+bg_weight: 0.025
+bg_smooth_weight: 1.0
+bg_patch_size: 8
+anneal_delay_steps: 1
+anneal_max_steps: 10
+net_depth: 2
+net_width: 32
+net_depth_condition: 1
+net_width_condition: 16
+chunk: 256
+"""
+  gin_text = """\
+VoxMLP.interp_method = 'linear3'
+VoxMLP.use_direct_output = True
+VoxMLP.use_residual = True
+VoxMLP.annealed = True
+PathSampler.normal_radius_scale = 0.1
+Config.kernel_size = 3
+Config.kernel_sigma = 1.0
+Config.voxel_grid = 'voxelize'
+NerfModel.use_mask_bbox = False
+"""
+  with open(os.path.join(cfg_dir, name + ".yaml"), "w") as f:
+    f.write(yaml_text)
+  with open(os.path.join(cfg_dir, name + ".gin"), "w") as f:
+    f.write(gin_text)
+  return os.path.join(cfg_dir, name)

@@ -1,0 +1,78 @@
+"""End-to-end CLI smoke: train a few steps, checkpoint, then eval.
+
+Runs the actual train.py / eval.py drivers as subprocesses on a synthetic
+scene (reference CLI surface: --data_dir --train_dir --config --gin_file
+--stage), exercising config loading, dataset threading, the jitted train
+step, checkpointing, stage surgery, and chunked rendering.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests import fixtures
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _env():
+  env = dict(os.environ)
+  env["JAX_PLATFORMS"] = "cpu"
+  env["SAMPLENERFRO_FORCE_CPU"] = "1"
+  env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+  env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+  env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+  return env
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+  root = tmp_path_factory.mktemp("scene")
+  data_dir = fixtures.make_scene(str(root / "data"))
+  cfg = fixtures.write_tiny_config(str(root / "cfg"))
+  train_dir = str(root / "logs")
+  return {"data": data_dir, "cfg": cfg, "train": train_dir}
+
+
+def test_train_cli_smoke(scene):
+  cmd = [
+      sys.executable, os.path.join(REPO, "train.py"),
+      f"--data_dir={scene['data']}",
+      f"--train_dir={scene['train']}",
+      f"--config={scene['cfg']}",
+      f"--gin_file={scene['cfg']}.gin",
+      "--stage=radiance_smoke",
+  ]
+  proc = subprocess.run(cmd, env=_env(), capture_output=True, text=True,
+                        timeout=900, cwd=REPO)
+  assert proc.returncode == 0, proc.stderr[-4000:]
+  stage_dir = os.path.join(scene["train"], "radiance_smoke")
+  ckpts = [f for f in os.listdir(stage_dir) if f.startswith("checkpoint_")]
+  assert ckpts, os.listdir(stage_dir)
+  assert os.path.exists(os.path.join(stage_dir, "flags.yaml"))
+  assert os.path.exists(os.path.join(stage_dir, "config.gin"))
+
+
+def test_eval_cli_smoke(scene):
+  """Eval with the radiance-stage surgery pulling the just-trained ckpt."""
+  cmd = [
+      sys.executable, os.path.join(REPO, "eval.py"),
+      f"--data_dir={scene['data']}",
+      f"--train_dir={scene['train']}",
+      f"--config={scene['cfg']}",
+      f"--gin_file={scene['cfg']}.gin",
+      "--stage=radiance_smoke",
+      "--gin_param=Config.radiance_weight_name='radiance_smoke'",
+      "--eval_once=True",
+  ]
+  proc = subprocess.run(cmd, env=_env(), capture_output=True, text=True,
+                        timeout=900, cwd=REPO)
+  assert proc.returncode == 0, proc.stderr[-4000:]
+  out_dir = os.path.join(scene["train"], "radiance_smoke", "test_preds")
+  assert os.path.exists(os.path.join(out_dir, "000.png"))
+  assert os.path.exists(os.path.join(out_dir, "psnr.txt"))
+  psnr = float(open(os.path.join(out_dir, "psnr.txt")).read())
+  assert np.isfinite(psnr)

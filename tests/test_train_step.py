@@ -119,7 +119,7 @@ def test_sharded_step_matches_single_device():
                              rtol=1e-3)
   np.testing.assert_allclose(
       np.array(s1.params["coarse_mlp"]["Dense_0"]["kernel"]),
-      np.array(s2.params["coarse_mlp"]["Dense_0"]["kernel"]), atol=1e-4)
+      np.array(s2.params["coarse_mlp"]["Dense_0"]["kernel"]), atol=5e-4)
 
 
 def test_ior_stage_runs():

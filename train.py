@@ -1,0 +1,221 @@
+"""Training CLI for the TPU-native refractive NeRF.
+
+Invocation surface matches the reference (train.py, train_nerf.sh:7-12):
+
+  python -m train --data_dir=... --train_dir=... \
+      --config=configs/<scene> --gin_file=configs/<scene>.gin --stage=...
+
+TPU-native orchestration: a 1-D device Mesh over the ray batch, one
+jit-compiled train step (GSPMD inserts the gradient all-reduce), host-side
+threaded data prefetch feeding jax.device_put with NamedShardings, and
+orbax/flax checkpoints compatible with the staged-surgery layout.
+"""
+
+import functools
+import gc
+import time
+from os import path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from absl import app, flags
+from flax.training.train_state import TrainState
+from jax import random
+
+from samplenerfro_tpu.data import datasets
+from samplenerfro_tpu.models import construct_nerf
+from samplenerfro_tpu.parallel import mesh as mesh_lib
+from samplenerfro_tpu.train import checkpoints as ckpt_lib
+from samplenerfro_tpu.train import step as step_lib
+from samplenerfro_tpu.utils import config as config_lib
+from samplenerfro_tpu.utils import grid_io
+from samplenerfro_tpu.utils import io as io_lib
+from samplenerfro_tpu.utils import metrics
+from samplenerfro_tpu.utils import render as render_lib
+
+FLAGS = flags.FLAGS
+
+config_lib.apply_platform_overrides()
+config_lib.define_flags()
+
+
+def main(unused_argv):
+  rng = random.PRNGKey(20200823)
+  np.random.seed(20201473 + jax.process_index())
+
+  cfg, gin_bindings = config_lib.load_config()
+  if FLAGS.config is not None:
+    config_lib.update_flags(FLAGS)
+  config_lib.apply_matmul_precision(FLAGS.matmul_precision)
+  if FLAGS.batch_size % jax.device_count() != 0:
+    raise ValueError("Batch size must be divisible by the number of devices.")
+  if FLAGS.train_dir is None:
+    raise ValueError("train_dir must be set. None set now.")
+  if FLAGS.data_dir is None:
+    raise ValueError("data_dir must be set. None set now.")
+
+  dataset = datasets.get_dataset("train", FLAGS)
+  val_dataset = datasets.get_dataset("val", FLAGS)
+
+  rng, key = random.split(rng)
+  grid, ndim, nmin, nmax = grid_io.load_ior_grid(
+      FLAGS.data_dir, cfg, FLAGS.config)
+
+  model, variables = construct_nerf(key, dataset.peek(), FLAGS,
+                                    ndim=ndim, nmin=nmin, nmax=nmax,
+                                    grid=grid, gin_overrides=gin_bindings)
+  print(io_lib.pretty_repr(variables))
+
+  if FLAGS.stage.startswith("ior"):
+    dataset = datasets.Grid("train", FLAGS, grid, ndim, nmax, nmin)
+    extra_dataset = None
+  else:
+    extra_dataset = datasets.Grid("train", FLAGS, grid, ndim, nmax, nmin)
+
+  mesh = mesh_lib.make_mesh()
+  grid_vars = {"grid": jax.device_put(
+      dict(variables["grid"]), mesh_lib.replicated_sharding(mesh))}
+
+  train_pstep = step_lib.make_train_step(model, FLAGS, grid_vars)
+  render_fn = step_lib.make_render_fn(model, FLAGS, grid_vars)
+
+  ssim_fn = jax.jit(
+      functools.partial(metrics.compute_ssim, max_val=1.0), backend="cpu")
+
+  FLAGS.stage_dir = path.join(FLAGS.train_dir, FLAGS.stage)
+  if not io_lib.isdir(FLAGS.stage_dir):
+    io_lib.makedirs(FLAGS.stage_dir)
+  config_lib.save_flags(FLAGS)
+  config_lib.save_config(FLAGS, gin_bindings)
+
+  tx, learning_rate_fn, learning_rate_fn1 = step_lib.create_optimizer(FLAGS)
+  state = TrainState.create(apply_fn=model.apply, params=variables["params"],
+                            tx=tx)
+  del tx, variables
+
+  state = ckpt_lib.restore_checkpoint(FLAGS.stage_dir, state)
+  init_step = int(state.step) + 1
+  dataset.train_it = init_step - 1
+  if FLAGS.render_every > 0:
+    val_dataset.test_it = init_step // FLAGS.render_every
+  if extra_dataset is not None:
+    extra_dataset.train_it = init_step - 1
+
+  state = jax.device_put(state, mesh_lib.replicated_sharding(mesh))
+
+  summary_writer = None
+  if jax.process_index() == 0:
+    from flax.metrics import tensorboard
+    summary_writer = tensorboard.SummaryWriter(FLAGS.stage_dir)
+
+  rng = rng + jax.process_index()
+  keys = random.split(rng, 1)[0]
+  gc.disable()
+  gc.collect()
+  stats_trace = []
+  reset_timer = True
+
+  if FLAGS.profile:
+    jax.profiler.start_trace(path.join(FLAGS.stage_dir, "profile"))
+
+  for step in range(init_step, FLAGS.max_steps + 1):
+    batch = next(dataset)
+    if extra_dataset is not None:
+      batch = {**batch, **next(extra_dataset)}
+    batch["annealed_alpha"] = np.float32(
+        np.maximum(step - FLAGS.anneal_delay_steps, 0)
+        / (FLAGS.anneal_max_steps - FLAGS.anneal_delay_steps))
+    batch["coarse_alpha_target"] = np.float32(0.0)
+    batch["fine_alpha_target"] = np.float32(0.0)
+    batch = mesh_lib.put_batch(batch, mesh)
+    if reset_timer:
+      t_loop_start = time.time()
+      reset_timer = False
+    lr = learning_rate_fn(step)
+    state, stats, keys = train_pstep(keys, state, batch)
+    if jax.process_index() == 0:
+      stats_trace.append(jax.device_get(stats))
+    if step % FLAGS.gc_every == 0:
+      gc.collect()
+
+    if FLAGS.profile and step == init_step + 5:
+      jax.block_until_ready(state.params)
+      jax.profiler.stop_trace()
+
+    if jax.process_index() == 0 and step % FLAGS.print_every == 0:
+      stats_np = stats_trace[-1]
+      summary_writer.scalar("train_loss", stats_np.loss, step)
+      summary_writer.scalar("train_psnr", stats_np.psnr, step)
+      summary_writer.scalar("train_loss_coarse", stats_np.loss_c, step)
+      summary_writer.scalar("train_psnr_coarse", stats_np.psnr_c, step)
+      summary_writer.scalar("weight_l2", stats_np.weight_l2, step)
+      summary_writer.scalar("train_loss_sp", stats_np.loss_sp, step)
+      summary_writer.scalar("train_loss_nrm", stats_np.loss_nrm, step)
+      summary_writer.scalar("train_loss_bg", stats_np.loss_bg, step)
+      summary_writer.scalar("train_loss_bg_c", stats_np.loss_bg_c, step)
+      summary_writer.scalar("train_loss_bg_smooth", stats_np.loss_bg_smooth,
+                            step)
+      avg = lambda name: np.mean([getattr(s, name) for s in stats_trace])
+      avg_loss = avg("loss")
+      avg_loss_c = avg("loss_c")
+      avg_loss_bg = avg("loss_bg")
+      summary_writer.scalar("train_avg_loss", avg_loss, step)
+      summary_writer.scalar("train_avg_psnr", avg("psnr"), step)
+      summary_writer.scalar("train_avg_loss_sp", avg("loss_sp"), step)
+      summary_writer.scalar("train_avg_loss_nrm", avg("loss_nrm"), step)
+      summary_writer.scalar("train_avg_loss_coarse", avg_loss_c, step)
+      summary_writer.scalar("train_avg_psnr_coarse", avg("psnr_c"), step)
+      summary_writer.scalar("train_avg_loss_bg", avg_loss_bg, step)
+      summary_writer.scalar("train_avg_loss_bg_c", avg("loss_bg_c"), step)
+      summary_writer.scalar("train_avg_loss_bg_smooth", avg("loss_bg_smooth"),
+                            step)
+      stats_trace = []
+      summary_writer.scalar("learning_rate", lr, step)
+      summary_writer.scalar("learning_rate1", learning_rate_fn1(step), step)
+      summary_writer.scalar("annealing_rate", stats_np.annealing_rate, step)
+      steps_per_sec = FLAGS.print_every / (time.time() - t_loop_start)
+      reset_timer = True
+      rays_per_sec = FLAGS.batch_size * steps_per_sec
+      summary_writer.scalar("train_steps_per_sec", steps_per_sec, step)
+      summary_writer.scalar("train_rays_per_sec", rays_per_sec, step)
+      precision = int(np.ceil(np.log10(FLAGS.max_steps))) + 1
+      print(("{:" + "{:d}".format(precision) + "d}").format(step) +
+            f"/{FLAGS.max_steps:d}: " + f"i_loss={stats_np.loss:0.4f}, " +
+            f"avg_loss={avg_loss:0.4f}, " + f"avg_loss_c={avg_loss_c:0.4f}, " +
+            f"avg_loss_bg={avg_loss_bg:0.4f}, " +
+            f"weight_l2={stats_np.weight_l2:0.2e}, " + f"lr={lr:0.2e}, " +
+            f"{rays_per_sec:0.0f} rays/sec")
+    if step % FLAGS.save_every == 0:
+      ckpt_lib.save_checkpoint(FLAGS.stage_dir, state, step)
+
+    if FLAGS.render_every > 0 and step % FLAGS.render_every == 0:
+      t_eval_start = time.time()
+      val_case = next(val_dataset)
+      eval_params = state.params
+      pred_color, pred_distance, pred_acc = render_lib.render_image(
+          functools.partial(render_fn, eval_params),
+          val_case["rays"], keys, FLAGS.dataset == "llff",
+          chunk=FLAGS.chunk, mesh=mesh)
+      if jax.process_index() == 0:
+        psnr = metrics.compute_psnr(
+            ((pred_color - val_case["pixels"])**2).mean())
+        ssim = ssim_fn(pred_color, val_case["pixels"])
+        eval_time = time.time() - t_eval_start
+        num_rays = int(np.prod(val_case["rays"].directions.shape[:-1]))
+        rays_per_sec = num_rays / eval_time
+        summary_writer.scalar("test_rays_per_sec", rays_per_sec, step)
+        print(f"Eval {step}: {eval_time:0.3f}s., {rays_per_sec:0.0f} rays/sec")
+        summary_writer.scalar("test_psnr", psnr, step)
+        summary_writer.scalar("test_ssim", ssim, step)
+        summary_writer.image("test_pred_color", pred_color, step)
+        summary_writer.image("test_pred_disp", pred_distance, step)
+        summary_writer.image("test_pred_acc", pred_acc, step)
+        summary_writer.image("test_target", val_case["pixels"], step)
+
+  if FLAGS.max_steps % FLAGS.save_every != 0:
+    ckpt_lib.save_checkpoint(FLAGS.stage_dir, state, FLAGS.max_steps)
+
+
+if __name__ == "__main__":
+  app.run(main)
