@@ -134,18 +134,23 @@ def reanchor_on_path(z_samples, path_pos, path_dir, path_dist, path_grad):
     (pos, dirs, grads): [batch, M, 3] each.
   """
   s = path_dist.shape[-1]
-  idx = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="left"))(
-      path_dist, z_samples)
+  # side='left' searchsorted == count of path_dist[k] < z. 'compare_all'
+  # evaluates the [S, M] comparison mask on the VPU instead of a sequential
+  # binary-search loop (the default 'scan' method serializes on TPU).
+  idx = jax.vmap(
+      lambda a, v: jnp.searchsorted(a, v, side="left", method="compare_all"))(
+          path_dist, z_samples)
   idx = jnp.clip(idx - 1, 0, s - 1)
 
-  def take(a):
-    return jnp.take_along_axis(a, idx[..., None], axis=1)
-
-  rd = take(path_dir)
-  anchor = take(path_pos)
-  anchor_t = jnp.take_along_axis(path_dist, idx, axis=1)
+  # One fused anchor gather: concatenate the per-vertex payload to 10
+  # channels so XLA issues a single take_along_axis instead of four.
+  payload = jnp.concatenate(
+      [path_pos, path_dir, path_grad, path_dist[..., None]], axis=-1)
+  anchors = jnp.take_along_axis(payload, idx[..., None], axis=1)
+  anchor, rd, grads, anchor_t = (anchors[..., 0:3], anchors[..., 3:6],
+                                 anchors[..., 6:9], anchors[..., 9])
   pos = anchor + rd * (z_samples - anchor_t)[..., None]
-  return pos, rd, take(path_grad)
+  return pos, rd, grads
 
 
 def sample_pdf(key, bins, weights, path_pos, path_dir, path_dist, path_grad,
