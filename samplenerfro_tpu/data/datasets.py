@@ -69,6 +69,7 @@ class Dataset(threading.Thread):
     self.precrop_iters = args.precrop_iters
     self.precrop_frac = args.precrop_frac
     self.patch_size = args.bg_patch_size
+    self.tile_size = int(getattr(args, "tile_size", 16))
     if split == "train":
       self._train_init(args)
     elif split in ("val", "test"):
@@ -112,7 +113,7 @@ class Dataset(threading.Thread):
       self.images = self.images.reshape([-1, 3])
       self.rays = namedtuple_map(
           lambda r: r.reshape([-1, r.shape[-1]]), self.rays)
-    elif args.batching == "single_image":
+    elif args.batching in ("single_image", "tile"):
       self.images = self.images.reshape([-1, self.resolution, 3])
       self.rays = namedtuple_map(
           lambda r: r.reshape([-1, self.resolution, r.shape[-1]]), self.rays)
@@ -125,6 +126,8 @@ class Dataset(threading.Thread):
     self._generate_rays()
 
   def _next_train(self):
+    if self.batching == "tile":
+      return self._next_train_tile()
     if self.batching == "all_images":
       ray_indices = np.random.choice(
           self.rays[0].shape[0], (self.batch_size,), replace=False)
@@ -169,6 +172,43 @@ class Dataset(threading.Thread):
           lambda r: r[image_index][ray_indices], self.rays)
     else:
       batch_env_rays = None
+
+    self.train_it += 1
+    return {"pixels": batch_pixels, "rays": batch_rays,
+            "env_rays": batch_env_rays}
+
+  def _next_train_tile(self):
+    """Sample random pixel tiles from one image (tile-coherent batches).
+
+    Feeds the tiled eikonal marcher (ops/eikonal_tiled.py): each
+    consecutive tile_size^2 chunk of the batch is one spatially-coherent
+    pixel tile. Opt-in via --batching=tile; the reference's iid-pixel
+    sampling is the default.
+    """
+    tile = self.tile_size
+    n_tiles = self.batch_size // (tile * tile)
+    assert n_tiles * tile * tile == self.batch_size, (
+        "batch_size must be a multiple of tile_size^2 for tile batching")
+    image_index = np.random.randint(0, self.n_examples, ())
+    coords = np.arange(self.rays[0][0].shape[0]).reshape(self.h, self.w)
+    idx_list = []
+    for _ in range(n_tiles):
+      x = np.random.randint(0, self.w - tile + 1)
+      y = np.random.randint(0, self.h - tile + 1)
+      idx_list.append(coords[y:y + tile, x:x + tile].reshape(-1))
+    ray_indices = np.concatenate(idx_list)
+    batch_pixels = self.images[image_index][ray_indices]
+    batch_rays = namedtuple_map(
+        lambda r: r[image_index][ray_indices], self.rays)
+
+    batch_env_rays = None
+    if self.patch_size > 0:
+      image_index = np.random.randint(0, self.n_examples, ())
+      x = np.random.randint(low=0, high=self.w - self.patch_size)
+      y = np.random.randint(low=0, high=self.h - self.patch_size)
+      env_idx = coords[y:(y + self.patch_size), x:(x + self.patch_size)]
+      batch_env_rays = namedtuple_map(
+          lambda r: r[image_index][env_idx], self.rays)
 
     self.train_it += 1
     return {"pixels": batch_pixels, "rays": batch_rays,

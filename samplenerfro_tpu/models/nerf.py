@@ -81,6 +81,10 @@ class NerfModel(nn.Module):
   ps_annealed: bool = True
   ps_normal_radius_scale: float = 0.1
   ps_unroll: int = 8
+  march_mode: str = "scan"
+  tile_block: int = 256
+  march_window: int = 16
+  march_refetch: int = 8
 
   def setup(self):
     mk_nerf_mlp = lambda: mlp_modules.NerfMLP(
@@ -115,7 +119,11 @@ class NerfModel(nn.Module):
         normalized=self.ps_normalized,
         annealed=self.ps_annealed,
         normal_radius_scale=self.ps_normal_radius_scale,
-        unroll=self.ps_unroll)
+        unroll=self.ps_unroll,
+        march_mode=self.march_mode,
+        tile_block=self.tile_block,
+        march_window=self.march_window,
+        march_refetch=self.march_refetch)
 
     self.coarse_step_size = (self.far - self.near) / self.num_coarse_samples
     self.fine_step_size = (self.far - self.near) / (
@@ -462,6 +470,10 @@ def construct_nerf(key, example_batch, args, ndim, nmin, nmax, grid,
       ps_normal_radius_scale=float(
           g.get("PathSampler.normal_radius_scale", 0.1)),
       ps_unroll=int(getattr(args, "scan_unroll", 8)),
+      march_mode=str(getattr(args, "march_mode", "scan")),
+      tile_block=int(getattr(args, "tile_size", 16))**2,
+      march_window=int(getattr(args, "march_window", 16)),
+      march_refetch=int(getattr(args, "march_refetch", 8)),
   )
 
   # Batches are flat [batch, ...] host arrays (no per-device leading axis as

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from samplenerfro_tpu.ops import eikonal as eik_ops
+from samplenerfro_tpu.ops import eikonal_tiled as eik_tiled
 from samplenerfro_tpu.ops import grid as grid_ops
 from samplenerfro_tpu.ops import math as math_ops
 from samplenerfro_tpu.ops import mlp as fmlp
@@ -57,6 +58,14 @@ class PathSampler(nn.Module):
   normal_radius_scale: float = 0.1
   # lax.scan unroll factor for the march.
   unroll: int = 8
+  # Tile-coherent marching (ops/eikonal_tiled.py): "scan" always uses the
+  # per-ray scan marcher; "tiled" requires spatially-coherent ray blocks
+  # (pixel tiles) and interpolates from per-block grid windows. The tiled
+  # path is only taken for stages that do not refine the gradient in-march.
+  march_mode: str = "scan"
+  tile_block: int = 256
+  march_window: int = 16
+  march_refetch: int = 8
 
   def setup(self):
     if self.interp_method != "linear3":
@@ -130,6 +139,16 @@ class PathSampler(nn.Module):
     data = self.grid.value
     use_pred = self.stage.startswith("all")
     so3_params = self.so3_mlp
+
+    if (self.march_mode == "tiled" and not use_pred
+        and origins.shape[0] % self.tile_block == 0):
+      pos, dirs, dist, n, g, oow = eik_tiled.march_tiled(
+          self.spec, data, origins, directions, self.near, self.step_size,
+          self.num_samples, block_size=self.tile_block,
+          window=self.march_window, refetch_every=self.march_refetch)
+      self.sow("diagnostics", "march_oow", oow,
+               reduce_fn=lambda a, b: a + b)
+      return pos, dirs, jax.lax.stop_gradient(dist), n, g
 
     if use_pred:
       def pred_grad_fn(rp, g):

@@ -62,8 +62,10 @@ def define_flags():
   flags.DEFINE_enum("dataset", "blender", DATASET_NAMES,
                     "The type of dataset feed to nerf.")
   flags.DEFINE_enum(
-      "batching", "single_image", ["single_image", "all_images"],
-      "source of ray sampling when collecting training batch")
+      "batching", "single_image", ["single_image", "all_images", "tile"],
+      "source of ray sampling when collecting training batch; 'tile' "
+      "samples random pixel tiles from one image (enables the tiled "
+      "eikonal marcher)")
   flags.DEFINE_bool("white_bkgd", True,
                     "using white color as default background.")
   flags.DEFINE_integer("batch_size", 1024,
@@ -190,6 +192,17 @@ def define_flags():
                     "capture a jax profiler trace of a few train steps.")
   flags.DEFINE_integer("scan_unroll", 8,
                        "unroll factor for the eikonal march lax.scan.")
+  flags.DEFINE_enum("march_mode", "scan", ["scan", "tiled"],
+                    "eikonal marcher: per-ray scan (reference-parity "
+                    "batching) or tile-coherent windowed marching (requires "
+                    "tile-ordered ray blocks; used automatically for eval "
+                    "rendering and for --batching=tile training).")
+  flags.DEFINE_integer("tile_size", 16,
+                       "pixel tile side for the tiled marcher.")
+  flags.DEFINE_integer("march_window", 16,
+                       "grid-point window side for the tiled marcher.")
+  flags.DEFINE_integer("march_refetch", 8,
+                       "steps between window refetches in the tiled marcher.")
 
 
 def update_flags(args):

@@ -11,10 +11,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from samplenerfro_tpu.data.rays import namedtuple_map
+from samplenerfro_tpu.ops import eikonal_tiled
 from samplenerfro_tpu.parallel import mesh as mesh_lib
 
 
-def render_image(render_fn, rays, rng, normalize_disp, chunk=8192, mesh=None):
+def render_image(render_fn, rays, rng, normalize_disp, chunk=8192, mesh=None,
+                 tile=0):
   """Render all pixels of an image in chunks.
 
   Args:
@@ -25,6 +27,9 @@ def render_image(render_fn, rays, rng, normalize_disp, chunk=8192, mesh=None):
     normalize_disp: bool, normalize distance to [0, 1] (LLFF).
     chunk: int, rays per launch.
     mesh: optional jax.sharding.Mesh for multi-device rendering.
+    tile: if > 0, permute pixels into tile x tile blocks before chunking
+      (feeds the tile-coherent marcher; a pure execution-order change —
+      outputs are un-permuted). chunk should be a multiple of tile^2.
 
   Returns:
     (rgb [h, w, 3], distance [h, w, 1], acc [h, w, 1]) numpy arrays.
@@ -33,14 +38,22 @@ def render_image(render_fn, rays, rng, normalize_disp, chunk=8192, mesh=None):
   num_rays = height * width
   rays = namedtuple_map(lambda r: np.asarray(r).reshape((num_rays, -1)), rays)
 
+  inv_perm = None
+  if tile > 0:
+    perm, inv_perm = eikonal_tiled.tile_order(height, width, tile)
+    rays = namedtuple_map(lambda r: r[perm], rays)
+
   _, key_0, key_1 = jax.random.split(rng, 3)
   n_devices = mesh.devices.size if mesh is not None else 1
+  pad_multiple = n_devices
+  if tile > 0:
+    pad_multiple = int(np.lcm(n_devices, tile * tile))
   results = []
   for i in range(0, num_rays, chunk):
     chunk_rays = namedtuple_map(lambda r: r[i:i + chunk], rays)
     chunk_size = chunk_rays[0].shape[0]
-    rays_remaining = chunk_size % n_devices
-    padding = (n_devices - rays_remaining) if rays_remaining != 0 else 0
+    rays_remaining = chunk_size % pad_multiple
+    padding = (pad_multiple - rays_remaining) if rays_remaining != 0 else 0
     if padding:
       chunk_rays = namedtuple_map(
           lambda r: np.pad(r, ((0, padding), (0, 0)), mode="edge"), chunk_rays)
@@ -54,6 +67,8 @@ def render_image(render_fn, rays, rng, normalize_disp, chunk=8192, mesh=None):
     results.append((rgb, distance, acc))
 
   rgb, distance, acc = [np.concatenate(r, axis=0) for r in zip(*results)]
+  if inv_perm is not None:
+    rgb, distance, acc = rgb[inv_perm], distance[inv_perm], acc[inv_perm]
   if normalize_disp:
     distance = (distance - distance.min()) / (distance.max() - distance.min())
   return (rgb.reshape((height, width, -1)),

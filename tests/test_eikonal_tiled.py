@@ -1,0 +1,122 @@
+"""Tests for the tile-coherent eikonal marcher and tile utilities."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from samplenerfro_tpu.ops import eikonal as eik_ops
+from samplenerfro_tpu.ops import eikonal_tiled as eikt
+from samplenerfro_tpu.ops import grid as grid_ops
+
+
+def _blob_grid(n=33, lo=-2.0, hi=2.0, peak=0.3):
+  spec = grid_ops.GridSpec([n] * 3, [lo] * 3, [hi] * 3)
+  axes = np.linspace(lo, hi, n)
+  xx, yy, zz = np.meshgrid(axes, axes, axes, indexing="ij")
+  vals = (1.0 + peak * np.exp(-(xx**2 + yy**2 + zz**2) / 1.0)).reshape(-1, 1)
+  values = jnp.asarray(vals, jnp.float32)
+  grad = grid_ops.central_difference_grad(spec, values)
+  return spec, jnp.concatenate([values, grad], axis=-1)
+
+
+def _tile_bundle(n_tiles=2, tile=4, seed=0):
+  """Coherent ray bundles: small-angle pencils from a shared origin."""
+  rng = np.random.RandomState(seed)
+  o = np.array([0.0, 0.0, -1.8], np.float32)
+  dirs = []
+  for _ in range(n_tiles):
+    cx, cy = rng.uniform(-0.25, 0.25, 2)
+    for py in range(tile):
+      for px in range(tile):
+        d = np.array([cx + px * 0.004, cy + py * 0.004, 1.0])
+        dirs.append(d / np.linalg.norm(d))
+  d = np.asarray(dirs, np.float32)
+  return (jnp.asarray(np.broadcast_to(o, d.shape).copy()), jnp.asarray(d))
+
+
+def test_tiled_matches_scan_march():
+  spec, data = _blob_grid()
+  o, d = _tile_bundle()
+  S, near = 64, 0.5
+  h = 3.0 / (S - 1)
+  ref = eik_ops.march(spec, data, o, d, near, h, S, unroll=2)
+  til = eikt.march_tiled(spec, data, o, d, near, h, S, block_size=16,
+                         window=10, refetch_every=8)
+  assert int(til[5]) == 0, "window violations on a coherent bundle"
+  for name, a, b in zip(("pos", "dir", "dist", "n", "g"), ref, til[:5]):
+    np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-5,
+                               err_msg=name)
+
+
+def test_tiled_counts_window_violations():
+  """Two wildly divergent rays in a block overflow a small window."""
+  spec, data = _blob_grid()
+  o = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.8]), (8, 3))
+  d = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (8, 1))
+  d[0] = [0.7, 0.0, 0.714]
+  d /= np.linalg.norm(d, axis=-1, keepdims=True)
+  out = eikt.march_tiled(spec, data, o, jnp.asarray(d), 0.5, 3.0 / 63, 64,
+                         block_size=8, window=6, refetch_every=8)
+  assert int(out[5]) > 0
+
+
+def test_tile_order_roundtrip():
+  for (h, w, t) in ((32, 32, 16), (24, 40, 16), (17, 19, 8)):
+    perm, inv = eikt.tile_order(h, w, t)
+    x = np.arange(h * w)
+    assert np.array_equal(x[perm][inv], x)
+    assert sorted(perm.tolist()) == x.tolist()
+
+
+def test_tile_order_blocks_are_tiles():
+  perm, _ = eikt.tile_order(32, 32, 16)
+  first = perm[:256]
+  ys, xs = first // 32, first % 32
+  assert ys.max() - ys.min() == 15 and xs.max() - xs.min() == 15
+
+
+def test_path_sampler_tiled_mode():
+  """PathSampler in tiled mode reproduces scan-mode outputs."""
+  from jax import random
+  from samplenerfro_tpu.models import construct_nerf
+  from samplenerfro_tpu.data.rays import Rays
+  from tests import helpers
+
+  o, d = _tile_bundle(n_tiles=2, tile=4)
+  rays = Rays(origins=o, directions=d, viewdirs=d,
+              radii=jnp.full((o.shape[0], 1), 1e-3))
+  args = helpers.tiny_args(near=0.5, far=3.5, num_coarse_samples=8,
+                           num_path_samples=4, march_mode="scan")
+  ndim, nmin, nmax = [33] * 3, [-2.0] * 3, [2.0] * 3
+  grid = np.asarray(_blob_grid()[1][:, :1])
+  model_scan, variables = construct_nerf(
+      random.PRNGKey(0), {"rays": rays}, args, ndim, nmin, nmax, grid)
+  args_t = helpers.tiny_args(near=0.5, far=3.5, num_coarse_samples=8,
+                             num_path_samples=4, march_mode="tiled",
+                             tile_size=4, march_window=10, march_refetch=8)
+  model_tiled, _ = construct_nerf(
+      random.PRNGKey(0), {"rays": rays}, args_t, ndim, nmin, nmax, grid)
+
+  ps = lambda m: m.apply(variables, o, d, 0.5,
+                         method=lambda mm, oo, dd, a: mm.path_sampler(oo, dd, a))
+  out_s = ps(model_scan)
+  out_t = ps(model_tiled)
+  for a, b in zip(out_s, out_t):
+    np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-5)
+
+
+def test_tile_batching_dataset(tmp_path):
+  from tests import fixtures, helpers
+  from samplenerfro_tpu.data import datasets
+
+  data_dir = fixtures.make_scene(str(tmp_path / "scene"), res=24)
+  args = helpers.tiny_args(batching="tile", tile_size=4, batch_size=32,
+                           data_dir=data_dir, factor=0, white_bkgd=False,
+                           bg_patch_size=4)
+  ds = datasets.Blender("train", args)
+  batch = next(ds)
+  assert batch["pixels"].shape == (32, 3)
+  # First 16 rays form one spatial tile: origins identical, dirs coherent.
+  dirs = batch["rays"].viewdirs[:16]
+  spread = np.max(np.ptp(dirs, axis=0))
+  assert spread < 0.2, spread

@@ -67,6 +67,14 @@ def main(unused_argv):
                                     grid=grid, gin_overrides=gin_bindings)
   print(io_lib.pretty_repr(variables))
 
+  # The tiled marcher needs tile-coherent ray blocks: only valid for the
+  # train step when batches are pixel tiles. Rendering reorders pixels into
+  # tiles itself, so the render model can always honor --march_mode.
+  render_tile = FLAGS.tile_size if FLAGS.march_mode == "tiled" else 0
+  train_model = model
+  if FLAGS.march_mode == "tiled" and FLAGS.batching != "tile":
+    train_model = model.clone(march_mode="scan")
+
   if FLAGS.stage.startswith("ior"):
     dataset = datasets.Grid("train", FLAGS, grid, ndim, nmax, nmin)
     extra_dataset = None
@@ -77,7 +85,7 @@ def main(unused_argv):
   grid_vars = {"grid": jax.device_put(
       dict(variables["grid"]), mesh_lib.replicated_sharding(mesh))}
 
-  train_pstep = step_lib.make_train_step(model, FLAGS, grid_vars)
+  train_pstep = step_lib.make_train_step(train_model, FLAGS, grid_vars)
   render_fn = step_lib.make_render_fn(model, FLAGS, grid_vars)
 
   ssim_fn = jax.jit(
@@ -196,7 +204,7 @@ def main(unused_argv):
       pred_color, pred_distance, pred_acc = render_lib.render_image(
           functools.partial(render_fn, eval_params),
           val_case["rays"], keys, FLAGS.dataset == "llff",
-          chunk=FLAGS.chunk, mesh=mesh)
+          chunk=FLAGS.chunk, mesh=mesh, tile=render_tile)
       if jax.process_index() == 0:
         psnr = metrics.compute_psnr(
             ((pred_color - val_case["pixels"])**2).mean())
