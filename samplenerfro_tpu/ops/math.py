@@ -96,6 +96,40 @@ def annealed_pos_enc(x, min_deg, max_deg, alpha, amp=1.0):
   return amp * four_feat
 
 
+def trans_t(t):
+  """z-translation pose matrix (rnerf/math_utils.py:42-46)."""
+  import numpy as np
+  return np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, t], [0, 0, 0, 1]],
+                  dtype=np.float32)
+
+
+def rot_phi(phi):
+  import numpy as np
+  return np.array([[1, 0, 0, 0],
+                   [0, np.cos(phi), -np.sin(phi), 0],
+                   [0, np.sin(phi), np.cos(phi), 0],
+                   [0, 0, 0, 1]], dtype=np.float32)
+
+
+def rot_theta(th):
+  import numpy as np
+  return np.array([[np.cos(th), 0, -np.sin(th), 0],
+                   [0, 1, 0, 0],
+                   [np.sin(th), 0, np.cos(th), 0],
+                   [0, 0, 0, 1]], dtype=np.float32)
+
+
+def pose_spherical(theta, phi, radius):
+  """Spherical camera pose for virtual orbits (rnerf/math_utils.py:61-66)."""
+  import numpy as np
+  c2w = trans_t(radius)
+  c2w = rot_phi(phi / 180.0 * np.pi) @ c2w
+  c2w = rot_theta(theta / 180.0 * np.pi) @ c2w
+  c2w = np.array([[-1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]],
+                 dtype=np.float32) @ c2w
+  return c2w
+
+
 def learning_rate_decay(step, lr_init, lr_final, max_steps, lr_delay_steps=0,
                         lr_delay_mult=1, lr_start_steps=0):
   """Log-lerp decay with warmup and optional delayed start.

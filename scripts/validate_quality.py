@@ -1,0 +1,119 @@
+"""End-to-end quality validation on the synthetic refractive scene.
+
+Generates the scene (exact eikonal ground truth), trains the radiance
+stage with a given batching mode, and reports val-view PSNR. Used to
+compare iid-pixel vs tile batching and to sanity-check convergence.
+
+Usage: python scripts/validate_quality.py --steps 2000 --batching tile
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CONFIG_YAML = """\
+dataset: blender
+batching: {batching}
+factor: 0
+batch_size: 1024
+num_coarse_samples: 64
+num_fine_samples: 128
+num_path_samples: 12
+use_viewdirs: true
+white_bkgd: false
+use_pixel_centers: true
+randomized: true
+max_steps: {steps}
+lr_delay_steps: 500
+lr_init: 0.0005
+render_every: 0
+save_every: {steps}
+print_every: 100
+sh_deg: -1
+sh_direnc_deg: -1
+sparsity_weight: 0.0
+use_online_sparsity: false
+extra_batch_size: 16
+bg_weight: 0.025
+bg_smooth_weight: 1.0
+bg_patch_size: 64
+anneal_delay_steps: 500
+anneal_max_steps: 2000
+net_depth: 8
+net_width: 256
+chunk: 8192
+march_mode: {march_mode}
+tile_size: 16
+march_window: {march_window}
+"""
+
+GIN = """\
+VoxMLP.interp_method = 'linear3'
+VoxMLP.use_direct_output = True
+VoxMLP.use_residual = True
+VoxMLP.annealed = True
+PathSampler.normal_radius_scale = 0.1
+Config.kernel_size = 0
+Config.kernel_sigma = 1.0
+Config.voxel_grid = 'voxelize'
+NerfModel.use_mask_bbox = False
+"""
+
+
+def main():
+  p = argparse.ArgumentParser()
+  p.add_argument("--steps", type=int, default=2000)
+  p.add_argument("--batching", default="single_image",
+                 choices=["single_image", "tile"])
+  p.add_argument("--march_mode", default=None,
+                 help="default: tiled when batching=tile else scan")
+  p.add_argument("--march_window", type=int, default=16)
+  p.add_argument("--workdir", default="/tmp/snr_quality")
+  p.add_argument("--skip_scene", action="store_true")
+  args = p.parse_args()
+  march_mode = args.march_mode or (
+      "tiled" if args.batching == "tile" else "scan")
+
+  data_dir = os.path.join(args.workdir, "scene")
+  if not args.skip_scene and not os.path.exists(
+      os.path.join(data_dir, "transforms_train.json")):
+    from samplenerfro_tpu.tools import synth
+    print("generating synthetic scene...")
+    synth.make_scene(data_dir)
+
+  tag = f"{args.batching}_{march_mode}_w{args.march_window}"
+  cfg_base = os.path.join(args.workdir, f"cfg_{tag}")
+  with open(cfg_base + ".yaml", "w") as f:
+    f.write(CONFIG_YAML.format(batching=args.batching, steps=args.steps,
+                               march_mode=march_mode,
+                               march_window=args.march_window))
+  with open(cfg_base + ".gin", "w") as f:
+    f.write(GIN)
+
+  train_dir = os.path.join(args.workdir, f"logs_{tag}")
+  stage = "radiance_quality"
+  env = dict(os.environ)
+  for cmd_name, script, extra in (
+      ("train", "train.py", []),
+      ("eval", "eval.py",
+       [f"--gin_param=Config.radiance_weight_name='{stage}'",
+        "--eval_once=True"])):
+    cmd = [sys.executable, os.path.join(REPO, script),
+           f"--data_dir={data_dir}", f"--train_dir={train_dir}",
+           f"--config={cfg_base}", f"--gin_file={cfg_base}.gin",
+           f"--stage={stage}"] + extra
+    print("running", cmd_name, "...")
+    proc = subprocess.run(cmd, env=env, cwd=REPO)
+    if proc.returncode != 0:
+      raise SystemExit(f"{cmd_name} failed")
+
+  psnr_file = os.path.join(train_dir, stage, "test_preds", "psnr.txt")
+  print(f"RESULT {tag}: PSNR = {open(psnr_file).read()}")
+
+
+if __name__ == "__main__":
+  main()
