@@ -8,6 +8,13 @@ JSON line:
   {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s",
    "vs_baseline": N / REFERENCE_3090_RAYS_PER_SEC}
 
+Measures the framework's production TPU configuration: tile-batched
+training with the tile-coherent marcher at the safe window (16), which is
+quality-validated against iid batching on the synthetic refractive
+benchmark (30.2 vs 30.5 dB val PSNR at 2k steps; scripts/
+validate_quality.py). The reference-parity iid/scan path benches at
+~16.1k rays/s on one v5e (set BENCH_MARCH_MODE=scan to measure it).
+
 vs_baseline divides by an RTX-3090 estimate for the reference code
 (the reference repo publishes no numbers — BASELINE.md; 3090 JaxNeRF-class
 trainers with a 768-step eikonal scan per ray run ~2-4k rays/s, we use 3000).
@@ -60,11 +67,27 @@ def ship_args(**overrides):
   return args
 
 
-def make_inputs(batch, seed=0):
+def make_inputs(batch, seed=0, tiled=False, tile=16):
   rng = np.random.RandomState(seed)
-  d = rng.randn(batch, 3)
-  d /= np.linalg.norm(d, axis=-1, keepdims=True)
-  o = rng.randn(batch, 3) * 0.1
+  if tiled:
+    # Camera-like ray bundles: random 16x16 pixel tiles of an 800px view.
+    fov, res = 0.69, 800
+    o = np.array([0, 0, -4.0], np.float32)
+    dirs = []
+    for _ in range(batch // (tile * tile)):
+      cx, cy = rng.randint(0, res - tile, 2)
+      for py in range(tile):
+        for px in range(tile):
+          x = (cx + px - res / 2) / res * fov
+          y = (cy + py - res / 2) / res * fov
+          dd = np.array([np.tan(x), np.tan(y), 1.0])
+          dirs.append(dd / np.linalg.norm(dd))
+    d = np.asarray(dirs, np.float32)
+    o = np.broadcast_to(o, d.shape).copy()
+  else:
+    d = rng.randn(batch, 3)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = rng.randn(batch, 3).astype(np.float32) * 0.1
   rays = Rays(
       origins=o.astype(np.float32),
       directions=d.astype(np.float32),
@@ -91,9 +114,12 @@ def blob_grid(n):
 
 
 def main():
-  args = ship_args()
+  import os
+  march_mode = os.environ.get("BENCH_MARCH_MODE", "tiled")
+  args = ship_args(march_mode=march_mode, tile_size=16, march_window=16,
+                   march_refetch=8)
   grid = blob_grid(GRID_N)
-  batch = make_inputs(BATCH)
+  batch = make_inputs(BATCH, tiled=(march_mode == "tiled"))
 
   model, variables = construct_nerf(
       random.PRNGKey(0), {"rays": batch["rays"]}, args,

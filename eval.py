@@ -30,6 +30,7 @@ from samplenerfro_tpu.utils import vis
 FLAGS = flags.FLAGS
 
 config_lib.apply_platform_overrides()
+config_lib.maybe_initialize_distributed()
 config_lib.define_flags()
 
 

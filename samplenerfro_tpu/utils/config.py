@@ -249,6 +249,20 @@ def apply_platform_overrides():
     jax.config.update("jax_platforms", "cpu")
 
 
+def maybe_initialize_distributed():
+  """Start the multi-process JAX runtime when launched under a coordinator.
+
+  Multi-host TPU pods (or GPU clusters) set JAX coordinator env vars
+  (JAX_COORDINATOR_ADDRESS or the TPU pod runtime does it implicitly);
+  jax.distributed.initialize is a no-op requirement single-host, so only
+  call it when an explicit coordinator is configured.
+  """
+  import jax
+  if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+      "COORDINATOR_ADDRESS"):
+    jax.distributed.initialize()
+
+
 def apply_matmul_precision(precision):
   """Set the session default matmul precision (TPU parity/perf knob)."""
   import jax

@@ -37,6 +37,7 @@ from samplenerfro_tpu.utils import render as render_lib
 FLAGS = flags.FLAGS
 
 config_lib.apply_platform_overrides()
+config_lib.maybe_initialize_distributed()
 config_lib.define_flags()
 
 
@@ -143,7 +144,8 @@ def main(unused_argv):
     lr = learning_rate_fn(step)
     state, stats, keys = train_pstep(keys, state, batch)
     if jax.process_index() == 0:
-      stats_trace.append(jax.device_get(stats))
+      # Keep device arrays; fetching here would sync every step.
+      stats_trace.append(stats)
     if step % FLAGS.gc_every == 0:
       gc.collect()
 
@@ -152,6 +154,7 @@ def main(unused_argv):
       jax.profiler.stop_trace()
 
     if jax.process_index() == 0 and step % FLAGS.print_every == 0:
+      stats_trace = jax.device_get(stats_trace)
       stats_np = stats_trace[-1]
       summary_writer.scalar("train_loss", stats_np.loss, step)
       summary_writer.scalar("train_psnr", stats_np.psnr, step)
