@@ -237,17 +237,24 @@ def make_train_step(model, args, grid_vars, donate=True):
 
 
 def make_render_fn(model, args, grid_vars):
-  """Jitted deterministic renderer for eval: returns the final-level tuple.
+  """Jitted deterministic renderer for eval.
 
-  Replaces the reference's pmapped render_fn + all_gather
-  (eval.py:95-105): under jit with sharded ray inputs the outputs come back
-  globally addressable, no explicit gather required.
+  Returns the final-level tuple plus the tiled-marcher window-violation
+  count (0 when exact / when the scan marcher ran). Replaces the
+  reference's pmapped render_fn + all_gather (eval.py:95-105): under jit
+  with sharded ray inputs the outputs come back globally addressable, no
+  explicit gather required.
   """
 
   @functools.partial(jax.jit, static_argnames=())
   def render_fn(params, key_0, key_1, rays):
     variables = {"params": params, **grid_vars}
-    ret, _ = model.apply(variables, key_0, key_1, rays, False)
-    return ret[-1]
+    (ret, _), aux = model.apply(variables, key_0, key_1, rays, False,
+                                mutable=["diagnostics"])
+    oow = jnp.int32(0)
+    diag = aux.get("diagnostics", {}).get("path_sampler", {})
+    for v in diag.get("march_oow", ()):
+      oow = oow + v
+    return ret[-1] + (oow,)
 
   return render_fn

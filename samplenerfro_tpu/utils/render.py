@@ -44,6 +44,7 @@ def render_image(render_fn, rays, rng, normalize_disp, chunk=8192, mesh=None,
     rays = namedtuple_map(lambda r: r[perm], rays)
 
   _, key_0, key_1 = jax.random.split(rng, 3)
+  total_oow = 0
   n_devices = mesh.devices.size if mesh is not None else 1
   pad_multiple = n_devices
   if tile > 0:
@@ -60,12 +61,18 @@ def render_image(render_fn, rays, rng, normalize_disp, chunk=8192, mesh=None,
     if mesh is not None:
       chunk_rays = mesh_lib.put_batch(chunk_rays, mesh)
     out = render_fn(key_0, key_1, chunk_rays)
-    rgb, distance, acc, _, _ = out
-    rgb, distance, acc = jax.device_get((rgb, distance, acc))
+    rgb, distance, acc = out[0], out[1], out[2]
+    oow = out[5] if len(out) > 5 else 0
+    rgb, distance, acc, oow = jax.device_get((rgb, distance, acc, oow))
+    total_oow += int(oow)
     if padding:
       rgb, distance, acc = rgb[:-padding], distance[:-padding], acc[:-padding]
     results.append((rgb, distance, acc))
 
+  if total_oow > 0:
+    print(f"WARNING: tiled marcher clamped {total_oow} out-of-window "
+          "interpolations this image; increase --march_window (or use "
+          "--march_mode=scan) for exact results.")
   rgb, distance, acc = [np.concatenate(r, axis=0) for r in zip(*results)]
   if inv_perm is not None:
     rgb, distance, acc = rgb[inv_perm], distance[inv_perm], acc[inv_perm]

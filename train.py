@@ -24,6 +24,7 @@ from flax.training.train_state import TrainState
 from jax import random
 
 from samplenerfro_tpu.data import datasets
+from samplenerfro_tpu.data import prefetch
 from samplenerfro_tpu.models import construct_nerf
 from samplenerfro_tpu.parallel import mesh as mesh_lib
 from samplenerfro_tpu.train import checkpoints as ckpt_lib
@@ -128,7 +129,15 @@ def main(unused_argv):
   if FLAGS.profile:
     jax.profiler.start_trace(path.join(FLAGS.stage_dir, "profile"))
 
-  for step in range(init_step, FLAGS.max_steps + 1):
+  # Assemble + device_put batches a couple of steps ahead of the train
+  # loop (overlaps host work and H2D transfer with device compute).
+  prefetch_step = [init_step - 1]
+
+  def next_host_batch():
+    prefetch_step[0] += 1
+    step = prefetch_step[0]
+    if step > FLAGS.max_steps:
+      return None
     batch = next(dataset)
     if extra_dataset is not None:
       batch = {**batch, **next(extra_dataset)}
@@ -137,7 +146,11 @@ def main(unused_argv):
         / (FLAGS.anneal_max_steps - FLAGS.anneal_delay_steps))
     batch["coarse_alpha_target"] = np.float32(0.0)
     batch["fine_alpha_target"] = np.float32(0.0)
-    batch = mesh_lib.put_batch(batch, mesh)
+    return batch
+
+  batches = prefetch.device_prefetch(next_host_batch, mesh, size=3)
+
+  for step, batch in zip(range(init_step, FLAGS.max_steps + 1), batches):
     if reset_timer:
       t_loop_start = time.time()
       reset_timer = False
