@@ -6,13 +6,17 @@ interpolation on the MXU, Euler integration, and per-step output stores.
 Grid = (num_blocks, num_windows); ray state lives in VMEM scratch that
 persists across the sequential window iterations of each block.
 
-Status: correct (fp32-parity with ops/eikonal_tiled.march_tiled, zero
-window violations on tile bundles) but NOT the production path. Mosaic
-requires DMA slice offsets aligned to the (8, 128) tile grid, which forces
-the VMEM window to 8x16x64 voxels instead of 8^3 and inflates the per-step
-contraction ~8x: measured 17.3 ms vs 8.8 ms for the XLA windowed marcher
-at ship scale on one v5e. Kept as the starting point for a future
-unaligned-gather variant; ops/eikonal_tiled.py remains the default.
+Status: correct (fp32-parity with ops/eikonal_tiled.march_tiled on
+linear fields; zero window violations on coherent bundles) but NOT the
+production path. Mosaic requires DMA slice offsets aligned to the
+(8, 128) tile grid, which forces the VMEM window to WX x 16 x 64 voxels
+and inflates the per-step contraction ~8x over the compact 8^3 window:
+measured on one v5e at ship scale 17.3 ms (window 8) / 21.5 ms
+(window 16) vs the XLA windowed marcher's 8.8 / 20.9 ms — and the
+alignment-padded y extent still under-covers strongly-diverging bundles
+the XLA window-16 marcher handles. Kept as the starting point for a
+future unaligned-gather variant; ops/eikonal_tiled.py remains the
+default.
 
 Semantics: out-of-window cells are clamped and counted into the oow output
 for verification, as in the XLA marcher.
@@ -63,7 +67,7 @@ def _march_kernel(origins_ref, dirs_ref, grid_hbm, selmat_ref, out_ref,
   cell_now, _ = cells_of(rp)
   cell_pred, _ = cells_of(rp + refetch * step_size * rd)
 
-  def axis_origin(a):
+  def axis_origin(a):  # x uses the plain window-centered origin
     lo = jnp.minimum(jnp.min(cell_now[:, a]), jnp.min(cell_pred[:, a]))
     hi = jnp.maximum(jnp.max(cell_now[:, a]), jnp.max(cell_pred[:, a]))
     center = (lo + hi + 1) // 2

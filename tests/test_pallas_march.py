@@ -30,15 +30,15 @@ def test_pallas_march_matches_xla_tiled():
   S, near = 32, 2.0
   h = 4.0 / (S - 1)
 
+  # The Pallas kernel's alignment-forced window is 8x16x64, so give the XLA
+  # reference a window that also covers the bundle without clamping.
   ref = eikt.march_tiled(spec, data, o, d, near, h, S, block_size=16,
-                         window=8, refetch_every=8)
+                         window=16, refetch_every=4)
+  assert int(ref[5]) == 0, "reference clamped; enlarge its window"
   out = march_kernel.march_tiled_pallas(
       spec, data, o, d, near, h, S, block_size=16, window=8,
       refetch_every=8, interpret=True)
   assert int(out[5]) == 0
-  # Euler integration chaotically amplifies summation-order rounding
-  # differences between the one-stage and two-stage contractions, so the
-  # comparison tolerance is loose but still catches structural bugs.
   for name, a, b in zip(("pos", "dir", "dist", "n", "g"), ref[:5], out[:5]):
-    np.testing.assert_allclose(np.array(a), np.array(b), atol=5e-3,
+    np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-4,
                                err_msg=name)
