@@ -1,0 +1,120 @@
+"""Tests for dataset loaders, ray-generation conventions, and batching."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from samplenerfro_tpu.data import datasets, rays as rays_lib
+from tests import fixtures, helpers
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+  root = tmp_path_factory.mktemp("ds")
+  return fixtures.make_scene(str(root / "scene"), num_train=3, res=16)
+
+
+def test_blender_loader_shapes(scene):
+  args = helpers.tiny_args(data_dir=scene, factor=0, white_bkgd=False,
+                           batch_size=32, bg_patch_size=4)
+  ds = datasets.Blender("train", args)
+  assert ds.size == 3
+  batch = next(ds)
+  assert batch["pixels"].shape == (32, 3)
+  assert batch["rays"].origins.shape == (32, 3)
+  assert batch["rays"].radii.shape == (32, 1)
+  assert batch["env_rays"].viewdirs.shape == (4, 4, 3)
+
+
+def test_blender_rays_point_at_scene(scene):
+  """Blender convention: camera looks down -z toward the origin."""
+  args = helpers.tiny_args(data_dir=scene, factor=0, white_bkgd=False)
+  ds = datasets.Blender("val", args)
+  ex = next(ds)
+  o = ex["rays"].origins.reshape(-1, 3)
+  v = ex["rays"].viewdirs.reshape(-1, 3)
+  # Center ray should point from the camera toward the origin.
+  c = o.shape[0] // 2
+  to_origin = -o[c] / np.linalg.norm(o[c])
+  assert np.dot(v[c], to_origin) > 0.9
+  np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0, atol=1e-5)
+
+
+def test_pinhole_ray_directions_match_intrinsics():
+  w = h = 8
+  focal = 10.0
+  c2w = np.eye(4)[None, :, :]  # identity pose: camera at origin facing -z
+  r = rays_lib.generate_pinhole_rays(w, h, focal, c2w, use_pixel_centers=True)
+  d = r.directions[0]
+  # Center-adjacent pixel direction: x offset (x+0.5 - w/2)/focal, -z.
+  assert d[0, 0, 2] == -1.0
+  np.testing.assert_allclose(d[0, 0, 0], (0.5 - 4.0) / focal, atol=1e-6)
+  np.testing.assert_allclose(d[0, 0, 1], -(0.5 - 4.0) / focal, atol=1e-6)
+
+
+def test_opencv_ray_directions():
+  w = h = 8
+  cam_mat = [[10.0, 0, 4.0], [0, 10.0, 4.0], [0, 0, 1.0]]
+  c2w = np.eye(4)[None, :, :]
+  r = rays_lib.generate_opencv_rays(w, h, cam_mat, c2w,
+                                    use_pixel_centers=True)
+  d = r.directions[0]
+  assert d[0, 0, 2] == 1.0  # +z forward
+  np.testing.assert_allclose(d[0, 0, 0], (0 - 4.0 + 0.5) / 10.0, atol=1e-6)
+
+
+def test_ndc_conversion_properties():
+  """NDC rays start on the near plane (o2 + d2 = point at infinity -> 1)."""
+  o = np.array([[0.0, 0.0, -1.5]])
+  d = np.array([[0.1, 0.0, -1.0]])
+  ndc_o, ndc_d = rays_lib.convert_to_ndc(o, d, focal=10.0, w=8, h=8)
+  np.testing.assert_allclose(ndc_o[0, 2] + ndc_d[0, 2], 1.0, atol=1e-6)
+
+
+def test_grid_dataset_samples_near_boundary():
+  args = helpers.tiny_args(extra_batch_size=32)
+  n = 9
+  axes = np.linspace(-1, 1, n)
+  xx, yy, zz = np.meshgrid(axes, axes, axes, indexing="ij")
+  grid = np.where(xx**2 + yy**2 + zz**2 < 0.5, 1.33, 1.0).reshape(-1, 1)
+  ds = datasets.Grid("train", args, grid, [n] * 3, [1.0] * 3, [-1.0] * 3)
+  batch = next(ds)
+  assert batch["pts"].shape == (32, 1, 3)
+  assert batch["grads"].shape == (32, 1, 3)
+  # Sampled points should be near the sphere boundary (radius ~0.7).
+  radii = np.linalg.norm(batch["pts"][:, 0], axis=-1)
+  assert np.mean(np.abs(radii - 0.7) < 0.5) > 0.9
+
+
+def test_all_images_batching(scene):
+  args = helpers.tiny_args(data_dir=scene, factor=0, white_bkgd=False,
+                           batching="all_images", batch_size=16,
+                           bg_patch_size=0)
+  ds = datasets.Blender("train", args)
+  batch = next(ds)
+  assert batch["pixels"].shape == (16, 3)
+  assert batch["env_rays"] is None
+
+
+def test_nsvf_loader(tmp_path):
+  from PIL import Image
+  root = tmp_path / "nsvf"
+  (root / "rgb").mkdir(parents=True)
+  (root / "pose").mkdir()
+  with open(root / "intrinsics.txt", "w") as f:
+    f.write("10.0 8.0 8.0 0.0\n")
+  rng = np.random.RandomState(0)
+  for i in range(2):
+    img = (rng.rand(16, 16, 4) * 255).astype(np.uint8)
+    Image.fromarray(img).save(root / "rgb" / f"0_{i:04d}.png")
+    pose = np.eye(4)
+    pose[2, 3] = 4.0
+    np.savetxt(root / "pose" / f"0_{i:04d}.txt", pose)
+  args = helpers.tiny_args(data_dir=str(root), factor=0, white_bkgd=True,
+                           batch_size=8, bg_patch_size=0)
+  ds = datasets.NSVF("train", args)
+  assert ds.size == 2
+  batch = next(ds)
+  assert batch["pixels"].shape == (8, 3)
