@@ -60,8 +60,8 @@ class PathSampler(nn.Module):
   unroll: int = 8
   # Tile-coherent marching (ops/eikonal_tiled.py): "scan" always uses the
   # per-ray scan marcher; "tiled" requires spatially-coherent ray blocks
-  # (pixel tiles) and interpolates from per-block grid windows. The tiled
-  # path is only taken for stages that do not refine the gradient in-march.
+  # (pixel tiles) and interpolates from per-block grid windows (all stages,
+  # including the "all"-stage so3 refinement).
   march_mode: str = "scan"
   tile_block: int = 256
   march_window: int = 16
@@ -140,22 +140,23 @@ class PathSampler(nn.Module):
     use_pred = self.stage.startswith("all")
     so3_params = self.so3_mlp
 
-    if (self.march_mode == "tiled" and not use_pred
-        and origins.shape[0] % self.tile_block == 0):
-      pos, dirs, dist, n, g, oow = eik_tiled.march_tiled(
-          self.spec, data, origins, directions, self.near, self.step_size,
-          self.num_samples, block_size=self.tile_block,
-          window=self.march_window, refetch_every=self.march_refetch)
-      self.sow("diagnostics", "march_oow", oow,
-               reduce_fn=lambda a, b: a + b)
-      return pos, dirs, jax.lax.stop_gradient(dist), n, g
-
     if use_pred:
       def pred_grad_fn(rp, g):
         raw = fmlp.mlp_apply(so3_params, self._embed(rp, annealed_alpha))
         return self._apply_head(raw, g)
     else:
       pred_grad_fn = None
+
+    if (self.march_mode == "tiled"
+        and origins.shape[0] % self.tile_block == 0):
+      pos, dirs, dist, n, g, oow = eik_tiled.march_tiled(
+          self.spec, data, origins, directions, self.near, self.step_size,
+          self.num_samples, block_size=self.tile_block,
+          window=self.march_window, refetch_every=self.march_refetch,
+          pred_grad_fn=pred_grad_fn, use_pred_grad=use_pred)
+      self.sow("diagnostics", "march_oow", oow,
+               reduce_fn=lambda a, b: a + b)
+      return pos, dirs, jax.lax.stop_gradient(dist), n, g
 
     pos, dirs, dist, n, g = eik_ops.march(
         self.spec, data, origins, directions, self.near, self.step_size,

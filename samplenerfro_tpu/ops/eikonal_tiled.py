@@ -25,8 +25,9 @@ coverage (0 == exact; violations are clamped to the window edge).
 
 Use cases: full-image rendering (pixels reordered into tiles — a pure
 execution-order change, see `tile_order`), and tile-batched training
-(opt-in). The "all"-stage residual-gradient refinement is not supported
-here; callers fall back to ops/eikonal.march for that stage.
+(opt-in). The "all"-stage residual-gradient (so3) refinement is supported
+via `pred_grad_fn`, evaluated per step on the block batch exactly as in
+ops/eikonal.march.
 """
 
 import jax
@@ -47,7 +48,8 @@ def _axis_weights(rel0, frac, window):
 
 
 def march_tiled(spec, data, origins, directions, near, step_size, num_samples,
-                block_size=256, window=8, refetch_every=8, unroll=2):
+                block_size=256, window=8, refetch_every=8, unroll=2,
+                pred_grad_fn=None, use_pred_grad=False):
   """March eikonal paths for spatially-coherent ray blocks.
 
   Args:
@@ -62,6 +64,10 @@ def march_tiled(spec, data, origins, directions, near, step_size, num_samples,
     refetch_every: steps between window refreshes (window margin must cover
       bundle spread + drift over this many steps; violations are counted).
     unroll: outer lax.scan unroll.
+    pred_grad_fn: optional (pos [batch, 3], grid_grad [batch, 3]) ->
+      [batch, 3] refined-gradient callable (the so3 head), applied where
+      ||grid grad|| > 1e-3 as in ops/eikonal.march ("all" stage).
+    use_pred_grad: bool, enable the refinement.
 
   Returns:
     (ray_pos, ray_dir, ray_dist, idx_data, idx_grad, oow_count) — first five
@@ -113,8 +119,16 @@ def march_tiled(spec, data, origins, directions, near, step_size, num_samples,
 
     nvals = vals[..., :1]
     g = vals[..., 1:]
+    if use_pred_grad:
+      flat_rp = rp.reshape(-1, 3)
+      flat_g = g.reshape(-1, 3)
+      refined = pred_grad_fn(flat_rp, flat_g).reshape(g.shape)
+      grad = jnp.where(
+          jnp.linalg.norm(g, axis=-1, keepdims=True) > 1e-3, refined, g)
+    else:
+      grad = g
     next_rp = rp + step_size / nvals * rd
-    next_rd = rd + step_size * g
+    next_rd = rd + step_size * grad
     next_rt = rt + jnp.linalg.norm(rp - next_rp, axis=-1)
     out = (rp, rd, rt, nvals, g)
     return (next_rp, next_rd, next_rt, oow, worigin, bricks), out

@@ -120,3 +120,27 @@ def test_tile_batching_dataset(tmp_path):
   dirs = batch["rays"].viewdirs[:16]
   spread = np.max(np.ptp(dirs, axis=0))
   assert spread < 0.2, spread
+
+
+def test_tiled_march_all_stage_pred_grad():
+  """Tiled march with the refinement hook matches the scan marcher."""
+  import jax.numpy as jnp2
+  spec, data = _blob_grid()
+  o, d = _tile_bundle()
+  S, near = 64, 0.5
+  h = 3.0 / (S - 1)
+
+  def pred_fn(rp, g):
+    # Deterministic stand-in for the so3 head: rotate grad slightly.
+    return g + 0.05 * jnp2.cross(jnp2.broadcast_to(
+        jnp2.asarray([0.0, 0.0, 1.0]), g.shape), g)
+
+  ref = eik_ops.march(spec, data, o, d, near, h, S, unroll=2,
+                      pred_grad_fn=pred_fn, use_pred_grad=True)
+  til = eikt.march_tiled(spec, data, o, d, near, h, S, block_size=16,
+                         window=10, refetch_every=8,
+                         pred_grad_fn=pred_fn, use_pred_grad=True)
+  assert int(til[5]) == 0
+  for name, a, b in zip(("pos", "dir", "dist", "n", "g"), ref, til[:5]):
+    np.testing.assert_allclose(np.array(a), np.array(b), atol=5e-5,
+                               err_msg=name)
