@@ -155,6 +155,7 @@ class PathSampler(nn.Module):
           window=self.march_window, refetch_every=self.march_refetch,
           pred_grad_fn=pred_grad_fn, use_pred_grad=use_pred)
       self.sow("diagnostics", "march_oow", oow,
+               init_fn=lambda: jnp.int32(0),
                reduce_fn=lambda a, b: a + b)
       return pos, dirs, jax.lax.stop_gradient(dist), n, g
 

@@ -251,9 +251,12 @@ def make_render_fn(model, args, grid_vars):
     variables = {"params": params, **grid_vars}
     (ret, _), aux = model.apply(variables, key_0, key_1, rays, False,
                                 mutable=["diagnostics"])
-    oow = jnp.int32(0)
     diag = aux.get("diagnostics", {}).get("path_sampler", {})
-    for v in diag.get("march_oow", ()):
+    vals = diag.get("march_oow", ())
+    if not isinstance(vals, (tuple, list)):
+      vals = (vals,)  # sow with reduce_fn stores the reduced value
+    oow = jnp.int32(0)
+    for v in vals:
       oow = oow + v
     return ret[-1] + (oow,)
 

@@ -200,7 +200,9 @@ def define_flags():
   flags.DEFINE_integer("tile_size", 16,
                        "pixel tile side for the tiled marcher.")
   flags.DEFINE_integer("march_window", 16,
-                       "grid-point window side for the tiled marcher.")
+                       "grid-point window side for the tiled marcher; 0 "
+                       "auto-calibrates the smallest violation-free window "
+                       "on probe batches.")
   flags.DEFINE_integer("march_refetch", 8,
                        "steps between window refetches in the tiled marcher.")
 

@@ -144,3 +144,30 @@ def test_tiled_march_all_stage_pred_grad():
   for name, a, b in zip(("pos", "dir", "dist", "n", "g"), ref, til[:5]):
     np.testing.assert_allclose(np.array(a), np.array(b), atol=5e-5,
                                err_msg=name)
+
+
+def test_window_calibration():
+  """Calibration finds a violation-free window on a coherent bundle."""
+  from jax import random
+  from samplenerfro_tpu.data.rays import Rays
+  from samplenerfro_tpu.models import construct_nerf
+  from samplenerfro_tpu.train import calibrate
+  from tests import helpers
+
+  o, d = _tile_bundle(n_tiles=2, tile=4)
+  rays = Rays(origins=o, directions=d, viewdirs=d,
+              radii=jnp.full((o.shape[0], 1), 1e-3))
+  args = helpers.tiny_args(near=0.5, far=3.5, num_coarse_samples=8,
+                           num_path_samples=4, march_mode="tiled",
+                           tile_size=4, march_window=16, march_refetch=8)
+  ndim, nmin, nmax = [33] * 3, [-2.0] * 3, [2.0] * 3
+  grid = np.asarray(_blob_grid()[1][:, :1])
+  model, variables = construct_nerf(
+      random.PRNGKey(0), {"rays": rays}, args, ndim, nmin, nmax, grid)
+  window, results = calibrate.calibrate_march_window(
+      model, variables, [{"rays": rays}], candidates=(6, 8, 10, 12))
+  assert results[window] == 0 or window == 12
+  # The chosen window must be clean or the largest candidate.
+  smaller = [w for w in (6, 8, 10) if w < window]
+  for w in smaller:
+    assert results[w] > 0

@@ -72,6 +72,31 @@ def main(unused_argv):
   # The tiled marcher needs tile-coherent ray blocks: only valid for the
   # train step when batches are pixel tiles. Rendering reorders pixels into
   # tiles itself, so the render model can always honor --march_mode.
+  # --march_window=0 auto-calibrates: the smallest window with zero
+  # out-of-window clamps on a few probe batches.
+  if FLAGS.march_mode == "tiled" and FLAGS.march_window == 0:
+    from samplenerfro_tpu.train import calibrate
+    if FLAGS.batching == "tile":
+      probe_batches = [next(dataset) for _ in range(4)]
+    else:
+      # Probe with tile-reordered rays from a validation view.
+      from samplenerfro_tpu.ops import eikonal_tiled
+      val_case = val_dataset.peek()
+      vr = val_case["rays"]
+      h_, w_ = vr.origins.shape[:2]
+      perm, _ = eikonal_tiled.tile_order(h_, w_, FLAGS.tile_size)
+      flat = jax.tree_util.tree_map(
+          lambda x: np.asarray(x).reshape(h_ * w_, -1)[perm], vr)
+      block = FLAGS.tile_size**2
+      nprobe = min(FLAGS.batch_size, (h_ * w_ // block) * block)
+      probe_batches = [
+          {"rays": jax.tree_util.tree_map(lambda x: x[:nprobe], flat)}]
+    probe_model = model.clone(march_window=16)
+    window, oow_by_window = calibrate.calibrate_march_window(
+        probe_model, variables, probe_batches)
+    print(f"march window auto-calibration: {oow_by_window} -> {window}")
+    FLAGS.march_window = window
+    model = model.clone(march_window=window)
   render_tile = FLAGS.tile_size if FLAGS.march_mode == "tiled" else 0
   train_model = model
   if FLAGS.march_mode == "tiled" and FLAGS.batching != "tile":
