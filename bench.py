@@ -11,9 +11,10 @@ JSON line:
 Measures the framework's production TPU configuration: tile-batched
 training with the tile-coherent marcher at the safe window (16), which is
 quality-validated against iid batching on the synthetic refractive
-benchmark (30.2 vs 30.5 dB val PSNR at 2k steps; scripts/
-validate_quality.py). The reference-parity iid/scan path benches at
-~16.1k rays/s on one v5e (set BENCH_MARCH_MODE=scan to measure it).
+benchmark (tile/tiled reaches 30.61 dB val PSNR at 10k steps vs the
+iid/scan baseline's 30.49 dB at 2k steps — both at the scene's PE
+plateau; scripts/validate_quality.py). The reference-parity iid/scan path
+benches at ~16.1k rays/s on one v5e (set BENCH_MARCH_MODE=scan).
 
 vs_baseline divides by an RTX-3090 estimate for the reference code
 (the reference repo publishes no numbers — BASELINE.md; 3090 JaxNeRF-class
