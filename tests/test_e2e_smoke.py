@@ -76,3 +76,51 @@ def test_eval_cli_smoke(scene):
   assert os.path.exists(os.path.join(out_dir, "psnr.txt"))
   psnr = float(open(os.path.join(out_dir, "psnr.txt")).read())
   assert np.isfinite(psnr)
+
+
+def test_ior_stage_cli_smoke(scene):
+  """The ior stage trains from the Grid boundary dataset."""
+  cmd = [
+      sys.executable, os.path.join(REPO, "train.py"),
+      f"--data_dir={scene['data']}",
+      f"--train_dir={scene['train']}",
+      f"--config={scene['cfg']}",
+      f"--gin_file={scene['cfg']}.gin",
+      "--stage=ior_smoke",
+  ]
+  proc = subprocess.run(cmd, env=_env(), capture_output=True, text=True,
+                        timeout=900, cwd=REPO)
+  assert proc.returncode == 0, proc.stderr[-4000:]
+  stage_dir = os.path.join(scene["train"], "ior_smoke")
+  assert any(f.startswith("checkpoint_") for f in os.listdir(stage_dir))
+
+
+def test_all_stage_cli_smoke(scene):
+  """The joint stage trains (so3 refinement active in the march)."""
+  cmd = [
+      sys.executable, os.path.join(REPO, "train.py"),
+      f"--data_dir={scene['data']}",
+      f"--train_dir={scene['train']}",
+      f"--config={scene['cfg']}",
+      f"--gin_file={scene['cfg']}.gin",
+      "--stage=all",
+  ]
+  proc = subprocess.run(cmd, env=_env(), capture_output=True, text=True,
+                        timeout=900, cwd=REPO)
+  assert proc.returncode == 0, proc.stderr[-4000:]
+
+  # Eval with the all-stage surgery.
+  cmd = [
+      sys.executable, os.path.join(REPO, "eval.py"),
+      f"--data_dir={scene['data']}",
+      f"--train_dir={scene['train']}",
+      f"--config={scene['cfg']}",
+      f"--gin_file={scene['cfg']}.gin",
+      "--stage=all",
+      "--eval_once=True",
+  ]
+  proc = subprocess.run(cmd, env=_env(), capture_output=True, text=True,
+                        timeout=900, cwd=REPO)
+  assert proc.returncode == 0, proc.stderr[-4000:]
+  out_dir = os.path.join(scene["train"], "all", "test_preds")
+  assert os.path.exists(os.path.join(out_dir, "psnr.txt"))
