@@ -380,11 +380,21 @@ class LLFF(Dataset):
       self._generate_spiral_poses(poses, bds)
 
     # Reference hardcodes index ranges for its scenes
-    # (rnerf/datasets.py:587-595) — preserved.
-    if self.split == "train":
-      indices = np.arange(100, 200, 1)
+    # (rnerf/datasets.py:587-595) — preserved when the scene is large
+    # enough; smaller scenes fall back to the standard llffhold split the
+    # reference ships commented out.
+    if images.shape[0] >= 200:
+      if self.split == "train":
+        indices = np.arange(100, 200, 1)
+      else:
+        indices = np.arange(0, 100, 1)
     else:
-      indices = np.arange(0, 100, 1)
+      i_test = np.arange(images.shape[0])[::args.llffhold]
+      if self.split == "train":
+        indices = np.array(
+            [i for i in np.arange(images.shape[0]) if i not in i_test])
+      else:
+        indices = i_test
     images = images[indices]
     poses = poses[indices]
 

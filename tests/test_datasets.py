@@ -118,3 +118,41 @@ def test_nsvf_loader(tmp_path):
   assert ds.size == 2
   batch = next(ds)
   assert batch["pixels"].shape == (8, 3)
+
+
+def test_llff_loader(tmp_path):
+  """LLFF loader: poses_bounds.npy + images dir, NDC rays, spiral path."""
+  from PIL import Image
+  root = tmp_path / "llff"
+  (root / "images").mkdir(parents=True)
+  rng = np.random.RandomState(0)
+  n_imgs, h, w, focal = 12, 16, 24, 20.0
+  poses = []
+  for i in range(n_imgs):
+    img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    Image.fromarray(img).save(root / "images" / f"im_{i:02d}.jpg")
+    # LLFF pose: [down, right, backwards | t | hwf], camera ring at z=-4.
+    theta = i / n_imgs * 0.4 - 0.2
+    c2w = np.eye(4)
+    c2w[0, 3] = np.sin(theta) * 0.5
+    c2w[2, 3] = -4.0
+    m = np.concatenate(
+        [c2w[:3, 1:2], c2w[:3, 0:1], -c2w[:3, 2:3], c2w[:3, 3:4]], axis=1)
+    hwf = np.array([[h], [w], [focal]])
+    poses.append(np.concatenate([m, hwf], axis=1).ravel())
+  bounds = np.tile(np.array([2.0, 6.0]), (n_imgs, 1))
+  arr = np.concatenate([np.stack(poses), bounds], axis=1)
+  np.save(root / "poses_bounds.npy", arr)
+
+  args = helpers.tiny_args(data_dir=str(root), factor=0, batch_size=8,
+                           bg_patch_size=0, spherify=False, llffhold=4)
+  ds = datasets.LLFF("train", args)
+  batch = next(ds)
+  assert batch["pixels"].shape == (8, 3)
+  # NDC rays: origins on the near plane have o_z + d_z = 1 at infinity.
+  tds = datasets.LLFF("test", args)
+  ex = next(tds)
+  oz = np.asarray(ex["rays"].origins[..., 2])
+  dz = np.asarray(ex["rays"].directions[..., 2])
+  np.testing.assert_allclose(oz + dz, 1.0, atol=1e-4)
+  assert tds.render_rays is not None  # spiral path generated
