@@ -1,0 +1,59 @@
+"""Tests for chunked full-image rendering (plain and tile-reordered)."""
+
+import functools
+
+import jax
+import numpy as np
+from jax import random
+
+from samplenerfro_tpu.data import datasets
+from samplenerfro_tpu.models import construct_nerf
+from samplenerfro_tpu.train import step as step_lib
+from samplenerfro_tpu.utils import render as render_lib
+from tests import fixtures, helpers
+
+
+def test_tiled_render_matches_plain(tmp_path):
+  """Tile reordering is a pure execution-order change for scan marching."""
+  data_dir = fixtures.make_scene(str(tmp_path / "scene"), res=16)
+  args = helpers.tiny_args(data_dir=data_dir, factor=0, white_bkgd=False,
+                           chunk=64, num_coarse_samples=4,
+                           num_fine_samples=8, num_path_samples=2)
+  ds = datasets.Blender("val", args)
+  example = ds.peek()
+
+  ndim, nmin, nmax, grid = helpers.make_grid()
+  model, variables = construct_nerf(
+      random.PRNGKey(0), {"rays": example["rays"]}, args,
+      ndim, nmin, nmax, grid)
+  grid_vars = {"grid": variables["grid"]}
+  render_fn = step_lib.make_render_fn(model, args, grid_vars)
+  fn = functools.partial(render_fn, variables["params"])
+
+  rng = random.PRNGKey(1)
+  plain = render_lib.render_image(fn, example["rays"], rng, False, chunk=64)
+  tiled = render_lib.render_image(fn, example["rays"], rng, False, chunk=64,
+                                  tile=4)
+  for a, b in zip(plain, tiled):
+    np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-5)
+  assert plain[0].shape == (16, 16, 3)
+
+
+def test_render_image_pads_ragged_chunks(tmp_path):
+  data_dir = fixtures.make_scene(str(tmp_path / "scene2"), res=10)
+  args = helpers.tiny_args(data_dir=data_dir, factor=0, white_bkgd=False,
+                           chunk=48, num_coarse_samples=4,
+                           num_fine_samples=0, num_path_samples=2)
+  ds = datasets.Blender("val", args)
+  example = ds.peek()
+  ndim, nmin, nmax, grid = helpers.make_grid()
+  model, variables = construct_nerf(
+      random.PRNGKey(0), {"rays": example["rays"]}, args,
+      ndim, nmin, nmax, grid)
+  render_fn = step_lib.make_render_fn(model, args,
+                                      {"grid": variables["grid"]})
+  out = render_lib.render_image(
+      functools.partial(render_fn, variables["params"]),
+      example["rays"], random.PRNGKey(1), False, chunk=48, tile=4)
+  assert out[0].shape == (10, 10, 3)
+  assert np.all(np.isfinite(np.array(out[0])))
