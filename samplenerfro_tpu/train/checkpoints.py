@@ -40,6 +40,49 @@ def latest_step(stage_dir):
   return int(latest.rsplit("_", 1)[-1])
 
 
+def is_reference_layout(ckpt):
+  """True if `ckpt` is a reference-repo checkpoint (eval.py:124-152 layout).
+
+  The reference stores TrainState.params = the whole variables dict, so its
+  checkpoints have a double "params" nesting (ckpt["params"]["params"][...])
+  and the so3 head under path_sampler/scan/idx_model/so3_mlp
+  (rnerf/models.py:91-131, eikonal_utils.py:24, ior_utils.py:148).
+  """
+  try:
+    inner = ckpt["params"]["params"]
+  except (KeyError, TypeError):
+    return False
+  return isinstance(inner, dict) and (
+      "coarse_mlp" in inner or "path_sampler" in inner)
+
+
+def convert_reference_params(inner):
+  """Convert a reference params/params subtree to this framework's layout.
+
+  Input: ckpt["params"]["params"] from a reference checkpoint — subtrees
+  {bkgd_mlp, coarse_mlp, fine_mlp, path_sampler/scan/idx_model/so3_mlp}.
+  The radiance MLPs share our Dense_i naming (models/mlp.py mirrors
+  rnerf/model_utils.py:30-140); the so3 head flattens to
+  path_sampler/so3_mlp with the final layer renamed Dense_out
+  (samplenerfro_tpu/ops/mlp.py layout).
+  """
+  out = {k: inner[k]
+         for k in ("bkgd_mlp", "coarse_mlp", "fine_mlp") if k in inner}
+  if "path_sampler" in inner:
+    so3 = inner["path_sampler"]["scan"]["idx_model"]["so3_mlp"]
+    idxs = sorted(int(k.split("_", 1)[1]) for k in so3)
+    last = f"Dense_{idxs[-1]}"
+    converted = {k: v for k, v in so3.items() if k != last}
+    converted["Dense_out"] = so3[last]
+    out["path_sampler"] = {"so3_mlp": converted}
+  return out
+
+
+def convert_reference_checkpoint(ckpt):
+  """Reference checkpoint dict -> (step, params tree in our layout)."""
+  return int(ckpt["step"]), convert_reference_params(ckpt["params"]["params"])
+
+
 def load_stage_variables(variables, train_dir, cfg, stage, num_fine_samples):
   """Merge pretrained stage checkpoints into a fresh variables tree.
 
@@ -62,6 +105,11 @@ def load_stage_variables(variables, train_dir, cfg, stage, num_fine_samples):
     if restored is None:
       raise FileNotFoundError(
           f"no checkpoint found under {path.join(train_dir, name)}")
+    if is_reference_layout(restored):
+      # Reference-trained weights: convert on the fly so stage surgery and
+      # eval work directly against checkpoints produced by the original code.
+      step, params = convert_reference_checkpoint(restored)
+      return {"step": step, "params": params}
     return restored
 
   if stage.startswith("radiance") or stage.startswith("ior"):
