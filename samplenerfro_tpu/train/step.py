@@ -40,6 +40,10 @@ class Stats:
   loss_bg_smooth: float
   coarse_alpha_target: float
   fine_alpha_target: float
+  # Tiled-marcher out-of-window clamp count for this step (0 == the march
+  # was exact; always 0 under the scan marcher). Surfaced so training on
+  # divergent bundles can't silently clamp interpolations.
+  march_oow: int = 0
 
 
 def param_labels_for_stage(stage, num_fine_samples):
@@ -112,10 +116,18 @@ def make_loss_fn(model, args, grid_vars):
     beta0 = 1.0
     beta1 = 1.0
 
+    march_oow = jnp.int32(0)
     if stage.startswith("radiance") or stage.startswith("all"):
       rays = batch["rays"]
-      ret, loss_sp = model.apply(variables, key_0, key_1, rays,
-                                 args.randomized, annealed_alpha)
+      (ret, loss_sp), aux = model.apply(variables, key_0, key_1, rays,
+                                        args.randomized, annealed_alpha,
+                                        mutable=["diagnostics"])
+      diag = aux.get("diagnostics", {}).get("path_sampler", {})
+      vals = diag.get("march_oow", ())
+      if not isinstance(vals, (tuple, list)):
+        vals = (vals,)  # sow with reduce_fn stores the reduced value
+      for v in vals:
+        march_oow = march_oow + v
       if len(ret) not in (1, 2):
         raise ValueError("ret should contain 1 (coarse) or 2 (coarse+fine) "
                          "sets of outputs.")
@@ -198,7 +210,8 @@ def make_loss_fn(model, args, grid_vars):
         fine_alpha_target=next_fat,
         loss_bg=args.bg_weight * loss_bg,
         loss_bg_c=args.bg_weight * loss_bg_c,
-        loss_bg_smooth=loss_bg_smooth)
+        loss_bg_smooth=loss_bg_smooth,
+        march_oow=march_oow)
     total = (loss + loss_c
              + args.bg_weight * (loss_bg + loss_bg_c)
              + args.sparsity_weight * annealing_rate * loss_sp

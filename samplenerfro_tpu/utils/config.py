@@ -205,6 +205,11 @@ def define_flags():
                        "on probe batches.")
   flags.DEFINE_integer("march_refetch", 8,
                        "steps between window refetches in the tiled marcher.")
+  flags.DEFINE_enum("march_oow_action", "fallback",
+                    ["warn", "fail", "fallback"],
+                    "what to do when the tiled marcher reports out-of-window "
+                    "clamps during training: log a warning only, abort, or "
+                    "permanently fall back to the exact scan marcher.")
 
 
 def update_flags(args):

@@ -114,6 +114,7 @@ def main(unused_argv):
 
   train_pstep = step_lib.make_train_step(train_model, FLAGS, grid_vars)
   render_fn = step_lib.make_render_fn(model, FLAGS, grid_vars)
+  tiled_training = train_model.march_mode == "tiled"
 
   ssim_fn = jax.jit(
       functools.partial(metrics.compute_ssim, max_val=1.0), backend="cpu")
@@ -184,6 +185,29 @@ def main(unused_argv):
     if jax.process_index() == 0:
       # Keep device arrays; fetching here would sync every step.
       stats_trace.append(stats)
+    if tiled_training and step % FLAGS.print_every == 0:
+      # Window-violation policy: the tiled marcher counts every clamped
+      # out-of-window interpolation (ops/eikonal_tiled.py); a nonzero count
+      # means the batch's bundles outgrew the calibrated window and results
+      # are no longer exact. Checked at print cadence (a device fetch here
+      # is already synchronized by the logging below).
+      oow = int(jax.device_get(stats.march_oow))
+      if oow > 0:
+        msg = (f"step {step}: tiled marcher clamped {oow} out-of-window "
+               f"interpolations (window={FLAGS.march_window})")
+        if FLAGS.march_oow_action == "fail":
+          raise RuntimeError(
+              msg + "; rerun with a larger --march_window, "
+              "--march_window=0 (auto-calibrate), or --march_mode=scan.")
+        if FLAGS.march_oow_action == "fallback":
+          print("WARNING: " + msg + "; falling back to the exact scan "
+                "marcher for the rest of training.")
+          train_model = train_model.clone(march_mode="scan")
+          train_pstep = step_lib.make_train_step(train_model, FLAGS,
+                                                 grid_vars)
+          tiled_training = False
+        else:
+          print("WARNING: " + msg)
     if step % FLAGS.gc_every == 0:
       gc.collect()
 
@@ -205,6 +229,7 @@ def main(unused_argv):
       summary_writer.scalar("train_loss_bg_c", stats_np.loss_bg_c, step)
       summary_writer.scalar("train_loss_bg_smooth", stats_np.loss_bg_smooth,
                             step)
+      summary_writer.scalar("train_march_oow", stats_np.march_oow, step)
       avg = lambda name: np.mean([getattr(s, name) for s in stats_trace])
       avg_loss = avg("loss")
       avg_loss_c = avg("loss_c")
