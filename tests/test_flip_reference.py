@@ -17,13 +17,26 @@ from metric import flip as our_flip
 
 
 def _load_ref_flip():
+  """Load the reference flip package under an isolated module name.
+
+  Importing it as plain `flip` would shadow metric/flip.py for other tests
+  (test_metric_suite.py imports it as top-level `flip`), so register the
+  package as `ref_nvidia_flip` via importlib instead of sys.path.
+  """
+  import importlib.util
+  pkg_name = "ref_nvidia_flip"
+  if pkg_name + ".flip_api" in sys.modules:
+    return sys.modules[pkg_name + ".flip_api"]
   for name in ("OpenEXR", "Imath"):
     if name not in sys.modules:
       sys.modules[name] = types.ModuleType(name)
-  if "/root/reference/metric" not in sys.path:
-    sys.path.insert(0, "/root/reference/metric")
-  from flip import flip_api
-  return flip_api
+  root = "/root/reference/metric/flip"
+  spec = importlib.util.spec_from_file_location(
+      pkg_name, root + "/__init__.py", submodule_search_locations=[root])
+  pkg = importlib.util.module_from_spec(spec)
+  sys.modules[pkg_name] = pkg
+  spec.loader.exec_module(pkg)
+  return sys.modules[pkg_name + ".flip_api"]
 
 
 REF = _load_ref_flip()
