@@ -2,23 +2,27 @@
 
 Runs the full radiance-stage train step at the ship-scene scale
 (batch 1024 rays, 64 coarse + 128 fine samples, 12 eikonal path samples,
-8x256 MLPs, 128^3 IOR grid) on the available accelerator and prints ONE
-JSON line:
+8x256 MLPs; BENCH_GRID_N sets the IOR grid resolution, default 128^3 —
+the flagship scenes ship 384^3/512^3, benchable with BENCH_GRID_N=512)
+on the available accelerator and prints ONE JSON line:
 
   {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s",
-   "vs_baseline": N / REFERENCE_3090_RAYS_PER_SEC}
+   "vs_baseline": N / REFERENCE_3090_RAYS_PER_SEC, ...}
 
 Measures the framework's production TPU configuration: tile-batched
-training with the tile-coherent marcher at the safe window (16), which is
+training with the fused Pallas marcher at the safe window (16), which is
 quality-validated against iid batching on the synthetic refractive
-benchmark (tile/tiled reaches 30.61 dB val PSNR at 10k steps vs the
-iid/scan baseline's 30.49 dB at 2k steps — both at the scene's PE
-plateau; scripts/validate_quality.py). The reference-parity iid/scan path
-benches at ~16.1k rays/s on one v5e (set BENCH_MARCH_MODE=scan).
+benchmark (scripts/validate_quality.py). Set BENCH_MARCH_MODE to
+tiled/scan for the XLA marchers (scan == reference-parity iid batching).
 
-vs_baseline divides by an RTX-3090 estimate for the reference code
-(the reference repo publishes no numbers — BASELINE.md; 3090 JaxNeRF-class
-trainers with a 768-step eikonal scan per ray run ~2-4k rays/s, we use 3000).
+Baseline provenance (both labeled in the JSON):
+  - vs_baseline: divides by an RTX-3090 ESTIMATE for the reference code —
+    the reference repo publishes no numbers (BASELINE.md); 3090
+    JaxNeRF-class trainers with a 768-step eikonal scan per ray run
+    ~2-4k rays/s, we use 3000. An estimate, not a measurement.
+  - vs_parity_scan_tpu: divides by this framework's own reference-parity
+    iid/scan configuration MEASURED on the same chip (BENCH_MARCH_MODE=scan
+    on one v5e) — an apples-to-apples speedup with full provenance.
 """
 
 import json
@@ -35,10 +39,15 @@ from samplenerfro_tpu.models import construct_nerf
 from samplenerfro_tpu.parallel import mesh as mesh_lib
 from samplenerfro_tpu.train import step as step_lib
 
+# RTX-3090 estimate for the reference code (BASELINE.md: no published
+# numbers exist; this is an order-of-magnitude anchor, labeled as such).
 REFERENCE_3090_RAYS_PER_SEC = 3000.0
+# This framework's reference-parity iid/scan config measured on one v5e
+# (BENCH_MARCH_MODE=scan BENCH_GRID_N=128; re-measure after marcher changes).
+PARITY_SCAN_TPU_RAYS_PER_SEC = 15600.0
 
 BATCH = 1024
-GRID_N = 128
+GRID_N = int(__import__("os").environ.get("BENCH_GRID_N", "128"))
 
 
 def ship_args(**overrides):
@@ -116,23 +125,23 @@ def blob_grid(n):
 
 def main():
   import os
-  march_mode = os.environ.get("BENCH_MARCH_MODE", "tiled")
-  args = ship_args(march_mode=march_mode, tile_size=16, march_window=16,
+  march_mode = os.environ.get("BENCH_MARCH_MODE", "pallas")
+  window = int(os.environ.get("BENCH_MARCH_WINDOW", "16"))
+  args = ship_args(march_mode=march_mode, tile_size=16, march_window=window,
                    march_refetch=8)
   grid = blob_grid(GRID_N)
-  batch = make_inputs(BATCH, tiled=(march_mode == "tiled"))
+  batch = make_inputs(BATCH, tiled=(march_mode in ("tiled", "pallas")))
 
   model, variables = construct_nerf(
       random.PRNGKey(0), {"rays": batch["rays"]}, args,
       [GRID_N] * 3, [-1.5] * 3, [1.5] * 3, grid)
 
   mesh = mesh_lib.make_mesh()
-  grid_vars = {"grid": jax.device_put(
-      dict(variables["grid"]), mesh_lib.replicated_sharding(mesh))}
+  grid_vars = {"grid": mesh_lib.replicate(dict(variables["grid"]), mesh)}
   tx, _, _ = step_lib.create_optimizer(args)
   state = TrainState.create(apply_fn=model.apply,
                             params=variables["params"], tx=tx)
-  state = jax.device_put(state, mesh_lib.replicated_sharding(mesh))
+  state = mesh_lib.replicate(state, mesh)
   tstep = step_lib.make_train_step(model, args, grid_vars)
 
   dbatch = mesh_lib.put_batch(batch, mesh)
@@ -156,6 +165,11 @@ def main():
       "value": round(rays_per_sec, 1),
       "unit": "rays/s",
       "vs_baseline": round(rays_per_sec / REFERENCE_3090_RAYS_PER_SEC, 3),
+      "baseline_provenance": "RTX-3090 estimate (no published numbers)",
+      "vs_parity_scan_tpu": round(
+          rays_per_sec / PARITY_SCAN_TPU_RAYS_PER_SEC, 3),
+      "march_mode": march_mode,
+      "grid_n": GRID_N,
   }))
 
 

@@ -57,9 +57,8 @@ def main(unused_argv):
   print(io_lib.pretty_repr(variables))
 
   mesh = mesh_lib.make_mesh()
-  grid_vars = {"grid": jax.device_put(
-      dict(variables["grid"]), mesh_lib.replicated_sharding(mesh))}
-  render_fn = step_lib.make_render_fn(model, FLAGS, grid_vars)
+  grid_vars = {"grid": mesh_lib.replicate(dict(variables["grid"]), mesh)}
+  render_fn = step_lib.make_render_fn(model, FLAGS, grid_vars, mesh=mesh)
 
   ssim_fn = jax.jit(
       functools.partial(metrics.compute_ssim, max_val=1.0), backend="cpu")
@@ -92,8 +91,7 @@ def main(unused_argv):
     showcase_index = None
     if not FLAGS.eval_once:
       showcase_index = np.random.randint(0, dataset.size)
-    params = jax.device_put(dict(variables["params"]),
-                            mesh_lib.replicated_sharding(mesh))
+    params = mesh_lib.replicate(dict(variables["params"]), mesh)
     for idx in range(dataset.size):
       print(f"Evaluating {idx+1}/{dataset.size}")
       batch = next(dataset)

@@ -77,9 +77,8 @@ def main(unused_argv):
     batch = next(dataset)
 
   mesh = mesh_lib.make_mesh()
-  grid_vars = {"grid": jax.device_put(
-      dict(variables["grid"]), mesh_lib.replicated_sharding(mesh))}
-  render_fn = step_lib.make_render_fn(model, FLAGS, grid_vars)
+  grid_vars = {"grid": mesh_lib.replicate(dict(variables["grid"]), mesh)}
+  render_fn = step_lib.make_render_fn(model, FLAGS, grid_vars, mesh=mesh)
 
   FLAGS.stage_dir = path.join(FLAGS.train_dir, FLAGS.stage)
   out_dir = path.join(FLAGS.stage_dir, "debug")
@@ -89,8 +88,7 @@ def main(unused_argv):
   variables, _ = ckpt_lib.load_stage_variables(
       variables, FLAGS.train_dir, cfg, FLAGS.stage, FLAGS.num_fine_samples)
   print(io_lib.pretty_repr(variables))
-  params = jax.device_put(dict(variables["params"]),
-                          mesh_lib.replicated_sharding(mesh))
+  params = mesh_lib.replicate(dict(variables["params"]), mesh)
 
   # ---------------------------------------------------------------------
   # 1. Debug view render.

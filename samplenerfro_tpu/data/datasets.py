@@ -91,11 +91,11 @@ class Dataset(threading.Thread):
     return self.queue.get()
 
   def peek(self):
-    """Copy of the queue front without dequeuing."""
-    import time
-    while self.queue.empty():
-      time.sleep(0.01)
-    return self.queue.queue[0].copy()
+    """Copy of the queue front without dequeuing (blocks until ready)."""
+    with self.queue.not_empty:
+      while not self.queue.queue:
+        self.queue.not_empty.wait()
+      return self.queue.queue[0].copy()
 
   def run(self):
     next_func = self._next_train if self.split == "train" else self._next_test
@@ -437,6 +437,14 @@ class LLFF(Dataset):
       split0, split1 = zip(*split)
       self.render_rays = Rays(*split0)
       self.rays = Rays(*split1)
+
+  # ---------------------------------------------------------------------
+  # LLFF pose-path helpers. Provenance: these reproduce the canonical
+  # JaxNeRF/LLFF camera-path math (Apache-2.0; the reference vendors the
+  # same code at rnerf/datasets.py:647-760). The formulas are kept verbatim
+  # because the generated spiral/spherical render paths must match the
+  # published datasets' camera trajectories exactly.
+  # ---------------------------------------------------------------------
 
   def _recenter_poses(self, poses):
     poses_ = poses.copy()

@@ -16,6 +16,7 @@ batched searchsorted (ops/render.py) instead of a per-ray fori_loop. The IPE
 
 from typing import Any, Callable
 
+import flax
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -452,7 +453,10 @@ def construct_nerf(key, example_batch, args, ndim, nmin, nmax, grid,
       sigma_activation=sigma_activation,
       legacy_posenc_order=args.legacy_posenc_order,
       spec=spec,
-      grid_data=grid_data,
+      # Init with structure-only placeholder grids (the real arrays are
+      # installed below): flagship-scale grid_data inside the jitted init
+      # would be baked in as a multi-GB constant.
+      grid_data=None,
       stage=args.stage,
       num_path_samples=args.num_path_samples,
       use_fine_sparsity=args.use_fine_sparsity,
@@ -488,4 +492,11 @@ def construct_nerf(key, example_batch, args, ndim, nmin, nmax, grid,
   init_fn = jax.jit(lambda k1, k2, k3, r: model.init(
       k1, rng_0=k2, rng_1=k3, rays=r, randomized=args.randomized))
   init_variables = init_fn(key1, key2, key3, rays)
+
+  # Install the real grid arrays (one H2D transfer each, outside any jit).
+  init_variables = flax.core.unfreeze(init_variables)
+  gcol = init_variables["grid"]["path_sampler"]
+  nx, ny, nz = spec.ndim
+  gcol["data"] = jnp.asarray(grid_data, jnp.float32)
+  gcol["data3d"] = jnp.asarray(grid_data.reshape(nx, ny, nz * 4), jnp.float32)
   return model, init_variables

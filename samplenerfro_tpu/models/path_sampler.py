@@ -34,6 +34,7 @@ from samplenerfro_tpu.ops import eikonal_tiled as eik_tiled
 from samplenerfro_tpu.ops import grid as grid_ops
 from samplenerfro_tpu.ops import math as math_ops
 from samplenerfro_tpu.ops import mlp as fmlp
+from samplenerfro_tpu.ops.pallas import march_kernel
 
 
 class PathSampler(nn.Module):
@@ -61,7 +62,12 @@ class PathSampler(nn.Module):
   # Tile-coherent marching (ops/eikonal_tiled.py): "scan" always uses the
   # per-ray scan marcher; "tiled" requires spatially-coherent ray blocks
   # (pixel tiles) and interpolates from per-block grid windows (all stages,
-  # including the "all"-stage so3 refinement).
+  # including the "all"-stage so3 refinement); "pallas" runs the fused
+  # Mosaic kernel (ops/pallas/march_kernel.py) when the configuration
+  # supports it, falling back to "tiled" otherwise. The pallas kernel is
+  # forward-only: training stages that differentiate the march ("all",
+  # via the so3 head) must use "tiled" — train.py clones the train model
+  # accordingly; eval/render keeps the fused kernel in every stage.
   march_mode: str = "scan"
   tile_block: int = 256
   march_window: int = 16
@@ -81,9 +87,28 @@ class PathSampler(nn.Module):
             key, in_dim, net_depth=4, net_width=128, skip_layer=2,
             num_out_channels=num_out,
             output_init_std=1e-5 if self.use_residual else None))
-    self.grid = self.variable(
-        "grid", "data",
-        lambda: jnp.asarray(self.grid_data, jnp.float32))
+    # grid_data=None initializes structure-only placeholders (unit IOR) —
+    # construct_nerf fills the real arrays AFTER the jitted model init, so
+    # a flagship-scale grid (384^3/512^3, up to 2 GB) is never baked into
+    # the init executable as a constant.
+    nx, ny, nz = self.spec.ndim
+
+    def _init_flat():
+      if self.grid_data is None:
+        return jnp.ones((nx * ny * nz, 4), jnp.float32)
+      return jnp.asarray(self.grid_data, jnp.float32)
+
+    def _init_3d():
+      if self.grid_data is None:
+        return jnp.ones((nx, ny, nz * 4), jnp.float32)
+      return jnp.asarray(self.grid_data, jnp.float32).reshape(nx, ny, nz * 4)
+
+    self.grid = self.variable("grid", "data", _init_flat)
+    # March-layout twin [n, n, n*4] for the windowed/fused marchers: the
+    # flat->3D reshape is a full HBM relayout (~6 ms/call for 128^3 on
+    # v5e), so it is materialized once here instead of inside every
+    # train/render step.
+    self.grid3d = self.variable("grid", "data3d", _init_3d)
 
   def _embed(self, x, annealed_alpha):
     if self.annealed:
@@ -147,10 +172,32 @@ class PathSampler(nn.Module):
     else:
       pred_grad_fn = None
 
-    if (self.march_mode == "tiled"
+    # The fused kernel implements only the shipped so3 branch (annealed
+    # PE from degree 0, Rodrigues residual head).
+    pallas_so3_ok = (not use_pred
+                     or (self.min_deg_point == 0 and self.annealed
+                         and self.use_residual and self.use_direct_output
+                         and not self.normalized))
+    if (self.march_mode == "pallas" and pallas_so3_ok
+        and march_kernel.supports(self.spec, self.num_samples,
+                                  origins.shape[0], self.tile_block,
+                                  self.march_window, self.march_refetch)):
+      pos, dirs, dist, n, g, oow = march_kernel.march_tiled_pallas(
+          self.spec, self.grid3d.value, origins, directions, self.near,
+          self.step_size, self.num_samples, block_size=self.tile_block,
+          window=self.march_window, refetch_every=self.march_refetch,
+          so3_params=(so3_params if use_pred else None),
+          annealed_alpha=annealed_alpha, max_deg=self.max_deg_point)
+      self.sow("diagnostics", "march_oow", oow,
+               init_fn=lambda: jnp.int32(0),
+               reduce_fn=lambda a, b: a + b)
+      return pos, dirs, jax.lax.stop_gradient(dist), n, g
+
+    if (self.march_mode in ("tiled", "pallas")
         and origins.shape[0] % self.tile_block == 0):
       pos, dirs, dist, n, g, oow = eik_tiled.march_tiled(
-          self.spec, data, origins, directions, self.near, self.step_size,
+          self.spec, self.grid3d.value, origins, directions, self.near,
+          self.step_size,
           self.num_samples, block_size=self.tile_block,
           window=self.march_window, refetch_every=self.march_refetch,
           pred_grad_fn=pred_grad_fn, use_pred_grad=use_pred)

@@ -1,223 +1,423 @@
-"""Pallas TPU kernel: fused tile-coherent eikonal march (experimental).
+"""Pallas TPU kernel: fused tile-coherent eikonal march.
 
-Fuses the whole march loop for one ray block into a single Mosaic kernel:
-window DMA from HBM, trilinear one-hot weight construction on the VPU,
-interpolation on the MXU, Euler integration, and per-step output stores.
-Grid = (num_blocks, num_windows); ray state lives in VMEM scratch that
-persists across the sequential window iterations of each block.
+Fuses the whole march for ALL ray blocks into a single Mosaic kernel: per
+reuse-window, one aligned DMA per block pulls a grid window from HBM into
+VMEM; each step builds trilinear one-hot weights on the VPU, interpolates
+with a two-stage MXU contraction, optionally refines the gradient with the
+so3 MLP (annealed PE + 4x128 skip-MLP + Rodrigues, the "all"-stage path),
+and Euler-integrates. Ray state lives in VMEM scratch across the sequential
+window iterations; the per-step trilinear weight matrices never touch HBM
+(they are the XLA marcher's bandwidth bottleneck: a [blocks, R, W^3] f32
+intermediate per step).
 
-Status: correct (fp32-parity with ops/eikonal_tiled.march_tiled on
-linear fields; zero window violations on coherent bundles) but NOT the
-production path. Mosaic requires DMA slice offsets aligned to the
-(8, 128) tile grid, which forces the VMEM window to WX x 16 x 64 voxels
-and inflates the per-step contraction ~8x over the compact 8^3 window:
-measured on one v5e at ship scale 17.3 ms (window 8) / 21.5 ms
-(window 16) vs the XLA windowed marcher's 8.8 / 20.9 ms — and the
-alignment-padded y extent still under-covers strongly-diverging bundles
-the XLA window-16 marcher handles. Kept as the starting point for a
-future unaligned-gather variant; ops/eikonal_tiled.py remains the
-default.
+Layout: everything is TRANSPOSED — rays live on the lane (minor) dimension.
+Ray state is [nb*3, R] (coordinates on sublanes), weights are [window, R],
+interpolated values come out as [4, R] rows that feed the Euler update
+directly. In the naive [R, 3] layout every elementwise op costs R/8 vector
+registers at 3/128 lane occupancy; lane-packing rays makes the per-step
+scalar math ~10x denser, and the Euler update for all blocks fuses into one
+[nb*3, R] op. The kernel grid is (num_windows,), so the sequential-step
+count is num_samples regardless of block count.
 
-Semantics: out-of-window cells are clamped and counted into the oow output
-for verification, as in the XLA marcher.
+Mosaic DMA slices must be (8, 128)-tile aligned in the minor two dims. The
+grid is laid out [N, N, N*4] (z fused with channels); the window is w voxels
+in x (arbitrary origin), yext = w + 8 in y (8-aligned origin), and 64 in z
+(32-aligned origin). Coverage per axis (max cell extent without clamping):
+x: w-2, y: w-1, z: 31 — at least the XLA marcher's `window=w` coverage on
+every axis. Out-of-window cells are clamped and counted (oow) exactly like
+the XLA marcher; callers verify oow == 0 for exactness.
+
+Parity targets: rnerf/eikonal_utils.py:29-49 (Euler step), ior_utils.py:
+188-223 (trilinear), 225-259 (so3 head). Cross-tested against
+ops/eikonal_tiled.march_tiled (tests/test_pallas_march.py) and through it
+against the reference scan (tests/test_reference_parity.py).
 """
 
 import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from samplenerfro_tpu.ops import math as math_ops
 
+_ZEXT = 64  # z window extent (voxels); 32-aligned origin => covers extent 31
+# Interpolation matmul precision (HIGHEST == fp32-exact bf16x3, required for
+# parity with the XLA marcher; module knob for ablation).
+_INTERP_PRECISION = jax.lax.Precision.HIGHEST
 
-def _march_kernel(origins_ref, dirs_ref, grid_hbm, selmat_ref, out_ref,
-                  oow_ref, state_ref, brick_ref, sem_ref, *, n, w,
-                  block_size, refetch, num_windows, near, step_size, nmin,
-                  ndelta, yext, zext):
-  b = pl.program_id(1)  # window index (sequential per block)
+
+def _supports(spec, num_samples, batch, block_size, window, refetch_every):
+  """Whether the fused kernel can run this configuration."""
+  n = spec.ndim[0]
+  yext = window + 8
+  return (spec.ndim[0] == spec.ndim[1] == spec.ndim[2]
+          and n % 32 == 0 and n >= _ZEXT and n >= yext
+          and batch % block_size == 0
+          and num_samples % refetch_every == 0
+          and block_size % 128 == 0)
+
+
+def supports(spec, num_samples, batch, block_size=256, window=8,
+             refetch_every=8):
+  """Public capability check for callers choosing a marcher."""
+  return _supports(spec, num_samples, batch, block_size, window,
+                   refetch_every)
+
+
+def _axis_rows(nb, vals):
+  """[nb*3, 1] column whose row r holds vals[r % 3] (python floats)."""
+  sub = jax.lax.broadcasted_iota(jnp.int32, (nb * 3, 1), 0) % 3
+  return jnp.where(sub == 0, vals[0], jnp.where(sub == 1, vals[1], vals[2]))
+
+
+def _annealed_pe_t(x, alpha, max_deg):
+  """Annealed PE of [3, R] -> [6*max_deg, R] (ops/math.py:annealed_pos_enc).
+
+  Row order per degree d: [sin(x*2^d)*w_d (3 rows), sin(x*2^d + pi/2)*w_d
+  (3 rows)]; w_d the Nerfies cosine easing window at alpha*max_deg.
+  """
+  feats = []
+  for d in range(max_deg):
+    xb = x * (2.0 ** d)
+    wd = 0.5 * (1 + jnp.cos(jnp.pi * jnp.clip(alpha * max_deg - d, 0.0, 1.0)
+                            + jnp.pi))
+    feats.append(jnp.sin(xb) * wd)
+    feats.append(jnp.sin(xb + 0.5 * jnp.pi) * wd)
+  return jnp.concatenate(feats, axis=0)
+
+
+def _row_norm(x, eps=1e-6):
+  return jnp.sqrt(jnp.maximum(jnp.sum(x**2, axis=0, keepdims=True), eps))
+
+
+def _cross_rows(a, b):
+  return jnp.concatenate([
+      a[1:2] * b[2:3] - a[2:3] * b[1:2],
+      a[2:3] * b[0:1] - a[0:1] * b[2:3],
+      a[0:1] * b[1:2] - a[1:2] * b[0:1],
+  ], axis=0)
+
+
+def _so3_refine_t(rp, g, alpha, so3_refs, max_deg):
+  """so3 refinement on transposed [3, R] tensors.
+
+  so3_refs holds PRE-TRANSPOSED kernels (WkT: [out, in]) and a [width, 5]
+  bias stack (cols 0..3 hidden, col 4 rows 0:3 = output bias), so every
+  layer is WkT @ h with activations [width, R] and biases [width, 1].
+  Parity: models/path_sampler.py wrapper_grad_mlp + ops/eikonal.py
+  rodrigues_rotate.
+  """
+  w0t, w1t, w2t, w3t, woutt, b = so3_refs
+  hi = jax.lax.Precision.HIGHEST
+
+  def matm(wt, h):
+    return jax.lax.dot_general(wt[:], h, (((1,), (0,)), ((), ())),
+                               precision=hi,
+                               preferred_element_type=jnp.float32)
+
+  x = _annealed_pe_t(rp, alpha, max_deg)
+  bv = b[:]
+  h = jnp.maximum(matm(w0t, x) + bv[:, 0:1], 0.0)
+  h = jnp.maximum(matm(w1t, h) + bv[:, 1:2], 0.0)
+  h = jnp.maximum(matm(w2t, h) + bv[:, 2:3], 0.0)
+  h = jnp.concatenate([h, x], axis=0)  # skip-concat after layer 2
+  h = jnp.maximum(matm(w3t, h) + bv[:, 3:4], 0.0)
+  raw = matm(woutt, h) + bv[0:3, 4:5]
+
+  theta = _row_norm(raw)
+  e = raw / theta
+  a = _row_norm(g)
+  v = g / a
+  cos_t = jnp.cos(theta)
+  refined = a * (cos_t * v + jnp.sin(theta) * _cross_rows(e, v)
+                 + (1 - cos_t) * jnp.sum(e * v, axis=0, keepdims=True) * e)
+  gnorm = jnp.sqrt(jnp.sum(g**2, axis=0, keepdims=True))
+  return jnp.where(gnorm > 1e-3, refined, g)
+
+
+def _march_kernel(refs, *, n, w, yext, block_size, nb, refetch, near,
+                  step_size, nmin, ndelta, use_pred_grad, max_deg, unroll):
+  if use_pred_grad:
+    (origins_ref, dirs_ref, grid_hbm, selmat_ref, alpha_ref,
+     w0t, w1t, w2t, w3t, woutt, bstack,
+     out_ref, oow_ref, state_ref, brick_ref, bt_ref, sem_ref) = refs
+    so3_refs = (w0t, w1t, w2t, w3t, woutt, bstack)
+    alpha = alpha_ref[0, 0]
+  else:
+    (origins_ref, dirs_ref, grid_hbm, selmat_ref,
+     out_ref, oow_ref, state_ref, brick_ref, bt_ref, sem_ref) = refs
+    so3_refs = None
+    alpha = None
+  k = pl.program_id(0)  # reuse-window index (sequential)
   r = block_size
+  zext = _ZEXT
+  wy = w * yext
+  zc = zext * 4
 
-  @pl.when(b == 0)
+  nmin_col = _axis_rows(nb, nmin)
+  ndelta_col = _axis_rows(nb, ndelta)
+
+  @pl.when(k == 0)
   def _init():
-    o = origins_ref[0]
-    d = dirs_ref[0]
-    state_ref[0:r, :] = o + near * d  # rp
-    state_ref[r:2 * r, :] = d  # rd
-    state_ref[2 * r:3 * r, :] = jnp.full((r, 3), near, jnp.float32)  # rt (x3)
-    oow_ref[0, 0, 0] = 0
-
-  rp = state_ref[0:r, :]
-  rd = state_ref[r:2 * r, :]
-  rt = state_ref[2 * r:3 * r, 0:1]
+    o = origins_ref[:]  # [nb*3, R]
+    d = dirs_ref[:]
+    state_ref[0] = o + near * d  # rp
+    state_ref[1] = d  # rd
+    state_ref[2] = jnp.full((nb * 3, r), near, jnp.float32)  # rt (x3 rows)
+    oow_ref[0, 0] = 0
 
   def cells_of(p):
-    # Per-axis python-float constants (jnp constants cannot be captured by
-    # pallas kernels).
-    cols = []
-    for a in range(3):
-      cols.append(jnp.clip((p[:, a:a + 1] - nmin[a]) / ndelta[a],
-                           0.0, n - 1.0))
-    c = jnp.concatenate(cols, axis=1)
+    """[nb*3, R] positions -> (cell int32, frac) in grid coords."""
+    c = jnp.clip((p - nmin_col) / ndelta_col, 0.0, n - 1.0)
     cell = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, n - 2)
     return cell, c - cell.astype(jnp.float32)
 
-  # Window origin from current + straight-line-predicted cells.
-  cell_now, _ = cells_of(rp)
-  cell_pred, _ = cells_of(rp + refetch * step_size * rd)
+  rp_all = state_ref[0]
+  rd_all = state_ref[1]
+  cell_now, _ = cells_of(rp_all)
+  cell_pred, _ = cells_of(rp_all + refetch * step_size * rd_all)
+  cmin = jnp.minimum(jnp.min(cell_now, axis=1), jnp.min(cell_pred, axis=1))
+  cmax = jnp.maximum(jnp.max(cell_now, axis=1), jnp.max(cell_pred, axis=1))
 
-  def axis_origin(a):  # x uses the plain window-centered origin
-    lo = jnp.minimum(jnp.min(cell_now[:, a]), jnp.min(cell_pred[:, a]))
-    hi = jnp.maximum(jnp.max(cell_now[:, a]), jnp.max(cell_pred[:, a]))
-    center = (lo + hi + 1) // 2
-    return jnp.clip(center - w // 2, 0, n - w)
+  # Per-block window origins + DMAs (start all, then wait all).
+  worigin_scalars = []
+  dmas = []
+  for b in range(nb):
+    lo, hi = cmin[3 * b], cmax[3 * b]
+    wx = jnp.clip((lo + hi + 1) // 2 - w // 2, 0, n - w)
+    ybase = jnp.clip((cmin[3 * b + 1] // 8) * 8, 0, n - yext)
+    zbase = jnp.clip((cmin[3 * b + 2] // 32) * 32, 0, n - zext)
+    worigin_scalars.extend([wx, ybase, zbase])
+    dma = pltpu.make_async_copy(
+        grid_hbm.at[pl.ds(wx, w), pl.ds(pl.multiple_of(ybase, 8), yext),
+                    pl.ds(pl.multiple_of(zbase * 4, 128), zext * 4)],
+        brick_ref.at[b], sem_ref.at[b])
+    dma.start()
+    dmas.append(dma)
+  worigin_col = jnp.concatenate(
+      [s.reshape(1, 1) for s in worigin_scalars], axis=0)  # [nb*3, 1]
+  for dma in dmas:
+    dma.wait()
 
-  wx = axis_origin(0)
-  # y-base aligned to 8 voxels (sublane tile) and z-base aligned to 32
-  # voxels (128 lanes), so the DMA slice offsets stay tile-aligned.
-  ylo = jnp.minimum(jnp.min(cell_now[:, 1]), jnp.min(cell_pred[:, 1]))
-  ybase = jnp.clip((ylo // 8) * 8, 0, n - yext)
-  zlo = jnp.minimum(jnp.min(cell_now[:, 2]), jnp.min(cell_pred[:, 2]))
-  zbase = jnp.clip((zlo // 32) * 32, 0, n - zext)
-  worigin_row = jnp.stack([wx, ybase, zbase])
+  # Transpose each block's window once per reuse period: [wy, zc] -> [zc, wy]
+  # so the per-step contraction is a plain (1,)x(0,) matmul.
+  for b in range(nb):
+    bt_ref[b] = jnp.transpose(brick_ref[b].reshape(wy, zc), (1, 0))
 
-  # Window DMA: the grid is laid out [N, N, N*4] (z and channel fused in
-  # the minor dim) so the slice keeps lane-dim tile alignment.
-  copy = pltpu.make_async_copy(
-      grid_hbm.at[pl.ds(wx, w), pl.ds(pl.multiple_of(ybase, 8), yext),
-                  pl.ds(pl.multiple_of(zbase * 4, 128), zext * 4)],
-      brick_ref, sem_ref)
-  copy.start()
-  copy.wait()
-  brick2d = brick_ref[:].reshape(w * yext, zext * 4)  # [(x, y), (z, c)]
+  # Sublane iotas for the one-hot weight rows.
+  sub_wy = jax.lax.broadcasted_iota(jnp.int32, (wy, 1), 0)
+  ix = sub_wy // yext
+  iy = sub_wy % yext
+  izc = jax.lax.broadcasted_iota(jnp.int32, (zc, 1), 0) // 4
+  selt = selmat_ref[:]  # [4, zc] channel-select one-hot
 
-  lane_xy = jax.lax.broadcasted_iota(jnp.int32, (r, w * yext), 1)
-  ix = lane_xy // yext
-  iy = lane_xy % yext
-  lane_zc = jax.lax.broadcasted_iota(jnp.int32, (r, zext * 4), 1)
-  izc = lane_zc // 4
-  selmat = selmat_ref[:]
+  # Per-row clamp bounds (axis pattern x, y, z).
+  bound_col = _axis_rows(nb, (float(w - 2), float(yext - 2),
+                              float(zext - 2))).astype(jnp.int32)
 
-  def axis_w(i_idx, rel0, frac):
-    rel0 = rel0[:, None]
-    frac = frac[:, None]
-    return (jnp.where(i_idx == rel0, 1.0 - frac, 0.0)
-            + jnp.where(i_idx == rel0 + 1, frac, 0.0))
+  def axis_w(idx_col, rel_row, frac_row):
+    """One-hot-with-weights [rows, R] from sublane iota and lane rows."""
+    return (jnp.where(idx_col == rel_row, 1.0 - frac_row, 0.0)
+            + jnp.where(idx_col == rel_row + 1, frac_row, 0.0))
 
   def step_body(i, carry):
-    rp, rd, rt, oow = carry
-    cell, frac = cells_of(rp)
-    rel = cell - worigin_row[None, :]
-    relx = jnp.clip(rel[:, 0], 0, w - 2)
-    rely = jnp.clip(rel[:, 1], 0, yext - 2)
-    relz = jnp.clip(rel[:, 2], 0, zext - 2)
-    oow = oow + jnp.sum(
-        (rel[:, 0] > w - 2).astype(jnp.int32)
-        + (rel[:, 1] > yext - 2).astype(jnp.int32)
-        + (rel[:, 2] > zext - 2).astype(jnp.int32)
-        + jnp.sum((rel < 0).astype(jnp.int32), axis=1))
+    rp_all, rd_all, rt_all, oow_vec = carry
+    cell, frac = cells_of(rp_all)
+    rel = cell - worigin_col
+    # Accumulate violations as a vector; the scalar reduction happens once
+    # per reuse window (a per-step cross-lane reduce costs ~1.5 ms total).
+    oow_vec = oow_vec + ((rel < 0).astype(jnp.int32)
+                         + (rel > bound_col).astype(jnp.int32))
+    rel = jnp.clip(rel, 0, bound_col)
 
-    # Stage 1: contract (x, y) on the MXU -> [R, zext*4] (z, c) values.
-    wxy = (axis_w(ix, relx, frac[:, 0])
-           * axis_w(iy, rely, frac[:, 1]))
-    t_zc = jax.lax.dot_general(
-        wxy, brick2d, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
-    # Stage 2: z-interp weight, then channel-select matmul.
-    t_zc = t_zc * axis_w(izc, relz, frac[:, 2])
-    vals = jax.lax.dot_general(
-        t_zc, selmat, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
-    nval = vals[:, 0:1]
-    g = vals[:, 1:4]
+    t_blocks = []
+    for b in range(nb):
+      relx = rel[3 * b:3 * b + 1, :]
+      rely = rel[3 * b + 1:3 * b + 2, :]
+      relz = rel[3 * b + 2:3 * b + 3, :]
+      fx = frac[3 * b:3 * b + 1, :]
+      fy = frac[3 * b + 1:3 * b + 2, :]
+      fz = frac[3 * b + 2:3 * b + 3, :]
+      # Stage 1: (x, y) one-hot contraction on the MXU -> [zc, R], then the
+      # per-ray z-interp weight on the VPU.
+      wxyt = axis_w(ix, relx, fx) * axis_w(iy, rely, fy)
+      t_zc = jax.lax.dot_general(
+          bt_ref[b], wxyt, (((1,), (0,)), ((), ())),
+          precision=_INTERP_PRECISION, preferred_element_type=jnp.float32)
+      t_zc = t_zc * axis_w(izc, relz, fz)
+      # Stage 2: channel-select matmul -> [4, R].
+      vals = jax.lax.dot_general(
+          selt, t_zc, (((1,), (0,)), ((), ())),
+          precision=_INTERP_PRECISION, preferred_element_type=jnp.float32)
+      t_blocks.append(vals)
 
-    next_rp = rp + step_size / nval * rd
-    next_rd = rd + step_size * g
-    next_rt = rt + jnp.sqrt(
-        jnp.sum((rp - next_rp)**2, axis=-1, keepdims=True))
+    nrows = [t_blocks[b][0:1, :] for b in range(nb)]
+    grows = [t_blocks[b][1:4, :] for b in range(nb)]
 
-    out_ref[0, i] = jnp.concatenate([rp, rd, rt, nval, g], axis=1)
-    return next_rp, next_rd, next_rt, oow
+    n_rep = jnp.concatenate([row for row in nrows for _ in range(3)], axis=0)
+    g_all = jnp.concatenate(grows, axis=0)  # [nb*3, R]
+    if use_pred_grad:
+      refined = [
+          _so3_refine_t(rp_all[3 * b:3 * b + 3, :], grows[b], alpha,
+                        so3_refs, max_deg) for b in range(nb)]
+      upd_all = jnp.concatenate(refined, axis=0)
+    else:
+      upd_all = g_all
 
-  rp, rd, rt, oow = jax.lax.fori_loop(
-      0, refetch, step_body, (rp, rd, rt, oow_ref[0, 0, 0]), unroll=True)
+    next_rp = rp_all + step_size / n_rep * rd_all
+    next_rd = rd_all + step_size * upd_all
+    d2 = (rp_all - next_rp)**2
+    seg = jnp.sum(d2.reshape(nb, 3, r), axis=1)  # [nb, R]
+    rt_next = rt_all + jnp.sqrt(seg)
 
-  state_ref[0:r, :] = rp
-  state_ref[r:2 * r, :] = rd
-  state_ref[2 * r:3 * r, :] = jnp.broadcast_to(rt, (r, 3))
-  oow_ref[0, 0, 0] = oow
+    for b in range(nb):
+      out_ref[b, i] = jnp.concatenate([
+          rp_all[3 * b:3 * b + 3, :],
+          rd_all[3 * b:3 * b + 3, :],
+          rt_all[b:b + 1, :],
+          nrows[b],
+          grows[b],
+      ], axis=0)  # [11, R]
+
+    return next_rp, next_rd, rt_next, oow_vec
+
+  rt_all = state_ref[2][:nb, :]
+  oow_vec0 = jnp.zeros((nb * 3, r), jnp.int32)
+  rp_all, rd_all, rt_all, oow_vec = jax.lax.fori_loop(
+      0, refetch, step_body,
+      (state_ref[0], state_ref[1], rt_all, oow_vec0), unroll=unroll)
+
+  state_ref[0] = rp_all
+  state_ref[1] = rd_all
+  state_ref[2] = jnp.concatenate(
+      [rt_all, jnp.zeros((2 * nb, r), jnp.float32)], axis=0)
+  oow_ref[0, 0] = oow_ref[0, 0] + jnp.sum(oow_vec)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "num_samples", "near", "step_size",
-                     "block_size", "window", "refetch_every", "interpret"))
-def march_tiled_pallas(spec, data, origins, directions, near, step_size,
-                       num_samples, block_size=256, window=8,
-                       refetch_every=8, interpret=False):
-  """Fused-kernel twin of eikonal_tiled.march_tiled (same returns)."""
+                     "block_size", "window", "refetch_every", "max_deg",
+                     "unroll", "interpret"))
+def _march_pallas_impl(spec, data, origins, directions, near, step_size,
+                       num_samples, so3_inputs, block_size, window,
+                       refetch_every, max_deg, unroll, interpret):
   n = spec.ndim[0]
   w = window
-  yext = 16  # y-extent: covers any 8-wide window from an 8-aligned base
-  zext = 64  # z-extent: covers any 8-wide window from a 32-aligned base
+  yext = w + 8
+  zext = _ZEXT
   batch = origins.shape[0]
-  assert batch % block_size == 0
   nb = batch // block_size
-  assert num_samples % refetch_every == 0
   num_windows = num_samples // refetch_every
+  use_pred_grad = so3_inputs is not None
 
-  grid3d = data.reshape(n, n, n * 4)
-  o_blocks = origins.reshape(nb, block_size, 3)
-  d_blocks = directions.reshape(nb, block_size, 3)
-  import numpy as np
+  # March-layout grid (see eikonal_tiled): pass [n, n, n*4] to avoid a
+  # per-call HBM relayout of the flat shape.
+  grid3d = data if data.ndim == 3 else data.reshape(n, n, n * 4)
+  # [batch, 3] -> [nb*3, R]: block-major rows, rays on lanes.
+  o_rows = jnp.transpose(origins.reshape(nb, block_size, 3),
+                         (0, 2, 1)).reshape(nb * 3, block_size)
+  d_rows = jnp.transpose(directions.reshape(nb, block_size, 3),
+                         (0, 2, 1)).reshape(nb * 3, block_size)
   selmat = jnp.asarray(
-      (np.arange(zext * 4)[:, None] % 4 == np.arange(4)[None, :])
-      .astype(np.float32))
+      (np.arange(4)[:, None] == np.arange(zext * 4)[None, :] % 4)
+      .astype(np.float32))  # [4, zc]
 
-  kernel = functools.partial(
-      _march_kernel, n=n, w=w, block_size=block_size,
-      refetch=refetch_every, num_windows=num_windows, near=near,
-      step_size=step_size, nmin=spec.nmin, ndelta=spec.ndelta, yext=yext,
-      zext=zext)
+  in_specs = [
+      pl.BlockSpec((nb * 3, block_size), lambda k: (0, 0),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((nb * 3, block_size), lambda k: (0, 0),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec(memory_space=pl.ANY),
+      pl.BlockSpec(memory_space=pltpu.VMEM),
+  ]
+  inputs = [o_rows, d_rows, grid3d, selmat]
+  if use_pred_grad:
+    alpha, so3 = so3_inputs
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    inputs.append(jnp.asarray(alpha, jnp.float32).reshape(1, 1))
+    mats = [so3["Dense_0"]["kernel"], so3["Dense_1"]["kernel"],
+            so3["Dense_2"]["kernel"], so3["Dense_3"]["kernel"],
+            so3["Dense_out"]["kernel"]]
+    feat = 2 * 3 * max_deg
+    assert mats[0].shape[0] == feat, (mats[0].shape, feat)
+    width = mats[0].shape[1]
+    bstack = jnp.zeros((width, 5), jnp.float32)
+    for i in range(4):
+      bstack = bstack.at[:, i].set(so3[f"Dense_{i}"]["bias"])
+    bstack = bstack.at[0:3, 4].set(so3["Dense_out"]["bias"])
+    for m in mats:
+      in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+      inputs.append(jnp.transpose(jnp.asarray(m, jnp.float32), (1, 0)))
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    inputs.append(bstack)
+
+  def wrapped_kernel(*refs):
+    return _march_kernel(
+        refs, n=n, w=w, yext=yext, block_size=block_size, nb=nb,
+        refetch=refetch_every, near=near, step_size=step_size,
+        nmin=spec.nmin, ndelta=spec.ndelta, use_pred_grad=use_pred_grad,
+        max_deg=max_deg, unroll=unroll)
 
   out, oow = pl.pallas_call(
-      kernel,
+      wrapped_kernel,
       interpret=interpret,
-      grid=(nb, num_windows),
-      in_specs=[
-          pl.BlockSpec((1, block_size, 3), lambda b, k: (b, 0, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, block_size, 3), lambda b, k: (b, 0, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec(memory_space=pltpu.ANY),
-          pl.BlockSpec(memory_space=pltpu.VMEM),
-      ],
+      grid=(num_windows,),
+      in_specs=in_specs,
       out_specs=(
-          pl.BlockSpec((1, refetch_every, block_size, 11),
-                       lambda b, k: (b, k, 0, 0), memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, 1, 1), lambda b, k: (b, 0, 0),
-                       memory_space=pltpu.SMEM),
+          pl.BlockSpec((nb, refetch_every, 11, block_size),
+                       lambda k: (0, k, 0, 0), memory_space=pltpu.VMEM),
+          pl.BlockSpec(memory_space=pltpu.SMEM),
       ),
       out_shape=(
-          jax.ShapeDtypeStruct((nb, num_samples, block_size, 11),
+          jax.ShapeDtypeStruct((nb, num_samples, 11, block_size),
                                jnp.float32),
-          jax.ShapeDtypeStruct((nb, 1, 1), jnp.int32),
+          jax.ShapeDtypeStruct((1, 1), jnp.int32),
       ),
       scratch_shapes=[
-          pltpu.VMEM((3 * block_size, 3), jnp.float32),
-          pltpu.VMEM((w, yext, zext * 4), jnp.float32),
-          pltpu.SemaphoreType.DMA(()),
+          pltpu.VMEM((3, nb * 3, block_size), jnp.float32),
+          pltpu.VMEM((nb, w, yext, zext * 4), jnp.float32),
+          pltpu.VMEM((nb, zext * 4, w * yext), jnp.float32),
+          pltpu.SemaphoreType.DMA((nb,)),
       ],
-  )(o_blocks, d_blocks, grid3d, selmat)
+  )(*inputs)
 
-  # [nb, S, R, 11] -> per-ray arrays [batch, S, ...].
-  out = jnp.moveaxis(out, 2, 1).reshape(batch, num_samples, 11)
+  # [nb, S, 11, R] -> per-ray arrays [batch, S, ...].
+  out = jnp.transpose(out, (0, 3, 1, 2)).reshape(batch, num_samples, 11)
   pos = out[..., 0:3]
   dirs = math_ops.safe_l2_normalize(out[..., 3:6])
   dist = out[..., 6]
   nvals = out[..., 7:8]
   g = out[..., 8:11]
-  return pos, dirs, dist, nvals, g, jnp.sum(oow)
+  return pos, dirs, dist, nvals, g, oow[0, 0]
+
+
+def march_tiled_pallas(spec, data, origins, directions, near, step_size,
+                       num_samples, block_size=256, window=8,
+                       refetch_every=8, so3_params=None, annealed_alpha=1.0,
+                       max_deg=10, unroll=1, interpret=False):
+  """Fused-kernel twin of eikonal_tiled.march_tiled (same returns).
+
+  Args match march_tiled; instead of a pred_grad_fn closure, the "all"-stage
+  so3 refinement is enabled by passing `so3_params` (the ops/mlp.py pytree:
+  Dense_0..3 + Dense_out) plus `annealed_alpha`/`max_deg` — the kernel
+  evaluates PE + MLP + Rodrigues inline per step.
+
+  Forward-only: gradients do not flow through the kernel (training stages
+  that differentiate the march — "all"/"ior" — use the XLA marchers).
+  """
+  so3_inputs = None
+  if so3_params is not None:
+    so3_inputs = (annealed_alpha, so3_params)
+  # Mosaic kernels only compile for TPU; on CPU (tests, forced-CPU CLI
+  # runs) fall back to the interpreter, which is slow but exact.
+  if not interpret and jax.default_backend() != "tpu":
+    interpret = True
+  return _march_pallas_impl(
+      spec, jax.lax.stop_gradient(data), jax.lax.stop_gradient(origins),
+      jax.lax.stop_gradient(directions), near, step_size, num_samples,
+      so3_inputs, block_size, window, refetch_every, max_deg, unroll,
+      interpret)

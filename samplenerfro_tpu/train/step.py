@@ -106,11 +106,16 @@ def _tree_weight_l2(params):
   return sum_sq / count
 
 
-def make_loss_fn(model, args, grid_vars):
-  """Build the per-stage loss closure (train.py:75-162)."""
+def make_loss_fn(model, args):
+  """Build the per-stage loss closure (train.py:75-162).
+
+  The (multi-GB at flagship resolution) IOR grid arrives as a runtime
+  argument: closing over device arrays would bake them into the compiled
+  executable as literal constants.
+  """
   stage = args.stage
 
-  def loss_fn(params, key_0, key_1, key_nrm, batch):
+  def loss_fn(params, grid_vars, key_0, key_1, key_nrm, batch):
     variables = {"params": params, **grid_vars}
     annealed_alpha = batch["annealed_alpha"]
     beta0 = 1.0
@@ -225,14 +230,19 @@ def make_loss_fn(model, args, grid_vars):
 
 
 def make_train_step(model, args, grid_vars, donate=True):
-  """Build the jitted train step: (rng, state, batch) -> (state, stats, rng)."""
-  loss_fn = make_loss_fn(model, args, grid_vars)
+  """Build the jitted train step: (rng, state, batch) -> (state, stats, rng).
 
-  def train_step(rng, state, batch):
+  grid_vars is threaded into the jitted function as an argument (not a
+  closure): captured device arrays become HLO constants, which at 384^3/
+  512^3 grid resolution means a multi-GB executable.
+  """
+  loss_fn = make_loss_fn(model, args)
+
+  def train_step(rng, state, batch, grid):
     rng, key_0, key_1, key_nrm = random.split(rng, 4)
 
     (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params, key_0, key_1, key_nrm, batch)
+        state.params, grid, key_0, key_1, key_nrm, batch)
 
     if args.grad_max_val > 0:
       clip_fn = lambda z: jnp.clip(z, -args.grad_max_val, args.grad_max_val)
@@ -246,22 +256,26 @@ def make_train_step(model, args, grid_vars, donate=True):
     new_state = state.apply_gradients(grads=grads)
     return new_state, stats, rng
 
-  return jax.jit(train_step, donate_argnums=(1,) if donate else ())
+  jitted = jax.jit(train_step, donate_argnums=(1,) if donate else ())
+  return lambda rng, state, batch: jitted(rng, state, batch, grid_vars)
 
 
-def make_render_fn(model, args, grid_vars):
+def make_render_fn(model, args, grid_vars, mesh=None):
   """Jitted deterministic renderer for eval.
 
   Returns the final-level tuple plus the tiled-marcher window-violation
   count (0 when exact / when the scan marcher ran). Replaces the
   reference's pmapped render_fn + all_gather (eval.py:95-105): under jit
-  with sharded ray inputs the outputs come back globally addressable, no
-  explicit gather required.
+  with sharded ray inputs the outputs come back globally addressable
+  single-process; multi-process, outputs are constrained replicated (a
+  GSPMD all-gather over ICI) so every host can fetch the full chunk —
+  the moral equivalent of the reference's lax.all_gather.
   """
+  replicate_out = mesh is not None and jax.process_count() > 1
 
   @functools.partial(jax.jit, static_argnames=())
-  def render_fn(params, key_0, key_1, rays):
-    variables = {"params": params, **grid_vars}
+  def render_impl(params, grid, key_0, key_1, rays):
+    variables = {"params": params, **grid}
     (ret, _), aux = model.apply(variables, key_0, key_1, rays, False,
                                 mutable=["diagnostics"])
     diag = aux.get("diagnostics", {}).get("path_sampler", {})
@@ -271,6 +285,14 @@ def make_render_fn(model, args, grid_vars):
     oow = jnp.int32(0)
     for v in vals:
       oow = oow + v
-    return ret[-1] + (oow,)
+    out = ret[-1] + (oow,)
+    if replicate_out:
+      from jax.sharding import NamedSharding, PartitionSpec
+      out = jax.lax.with_sharding_constraint(
+          out, NamedSharding(mesh, PartitionSpec()))
+    return out
+
+  def render_fn(params, key_0, key_1, rays):
+    return render_impl(params, grid_vars, key_0, key_1, rays)
 
   return render_fn

@@ -192,11 +192,12 @@ def define_flags():
                     "capture a jax profiler trace of a few train steps.")
   flags.DEFINE_integer("scan_unroll", 8,
                        "unroll factor for the eikonal march lax.scan.")
-  flags.DEFINE_enum("march_mode", "scan", ["scan", "tiled"],
+  flags.DEFINE_enum("march_mode", "scan", ["scan", "tiled", "pallas"],
                     "eikonal marcher: per-ray scan (reference-parity "
-                    "batching) or tile-coherent windowed marching (requires "
-                    "tile-ordered ray blocks; used automatically for eval "
-                    "rendering and for --batching=tile training).")
+                    "batching), tile-coherent windowed marching, or the "
+                    "fused Pallas TPU kernel (tile-ordered ray blocks; "
+                    "falls back to tiled/scan where unsupported; the "
+                    "'all' training stage uses tiled for march gradients).")
   flags.DEFINE_integer("tile_size", 16,
                        "pixel tile side for the tiled marcher.")
   flags.DEFINE_integer("march_window", 16,

@@ -59,6 +59,12 @@ def render_image(render_fn, rays, rng, normalize_disp, chunk=8192, mesh=None,
       chunk_rays = namedtuple_map(
           lambda r: np.pad(r, ((0, padding), (0, 0)), mode="edge"), chunk_rays)
     if mesh is not None:
+      if jax.process_count() > 1:
+        # Per-host ray slicing (rnerf/utils.py:366-368): every process loads
+        # the full image but contributes only its local rows to the global
+        # sharded array.
+        lo, hi = mesh_lib.local_chunk(chunk_rays[0].shape[0], mesh)
+        chunk_rays = namedtuple_map(lambda r: r[lo:hi], chunk_rays)
       chunk_rays = mesh_lib.put_batch(chunk_rays, mesh)
     out = render_fn(key_0, key_1, chunk_rays)
     rgb, distance, acc = out[0], out[1], out[2]

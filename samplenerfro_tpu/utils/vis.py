@@ -1,9 +1,16 @@
-"""Depth/normal false-color visualization suite (reference rnerf/vis.py)."""
+"""Depth/normal false-color visualization suite.
+
+Provenance: visualize_depth/sinebow and the weighted-percentile depth
+normalization transcribe the mip-NeRF-lineage visualization utilities the
+reference vendors at rnerf/vis.py (Apache-2.0); the false-color encodings
+are part of the output-format parity surface (eval writes the same
+depth/disp/normal PNG suite).
+"""
 
 import jax
 import jax.numpy as jnp
 import jax.scipy as jsp
-import matplotlib.cm as cm
+import matplotlib
 
 
 def sinebow(h):
@@ -55,7 +62,7 @@ def visualize_depth(depth, acc=None, near=None, far=None, ignore_frac=0,
   else:
     value = jnp.nan_to_num(
         jnp.clip((depth - jnp.minimum(near, far)) / jnp.abs(far - near), 0, 1))
-    colormap = colormap or cm.get_cmap("turbo")
+    colormap = colormap or matplotlib.colormaps["turbo"]
 
   vis = colormap(value)[:, :, :3]
   return vis * acc[:, :, None] + (1 - acc)[:, :, None]

@@ -1,0 +1,60 @@
+"""True multi-process placement test: 2 jax processes on CPU (Gloo).
+
+Round-1 VERDICT item 5: put_batch/render_image used
+jax.device_put(host_numpy, mesh-wide sharding), valid only single-process.
+This runs the real thing — two OS processes, each with 2 virtual CPU
+devices, jax.distributed + make_array_from_process_local_data — through
+one train step and one chunked eval render, and asserts bitwise-close
+agreement with the single-process run of the same global computation.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "mp_worker.py")
+
+
+def _env():
+  env = dict(os.environ)
+  env["SAMPLENERFRO_FORCE_CPU"] = "1"
+  env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+  env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+  return env
+
+
+def _run_single(out_path):
+  proc = subprocess.run(
+      [sys.executable, WORKER, "0", "1", "0", out_path],
+      env=_env(), capture_output=True, text=True, timeout=600, cwd=REPO)
+  assert proc.returncode == 0, proc.stderr[-3000:]
+
+
+def _run_pair(out_path, port):
+  procs = [
+      subprocess.Popen(
+          [sys.executable, WORKER, str(pid), "2", str(port), out_path],
+          env=_env(), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+          text=True, cwd=REPO)
+      for pid in (0, 1)
+  ]
+  outs = [p.communicate(timeout=600) for p in procs]
+  for p, (stdout, stderr) in zip(procs, outs):
+    assert p.returncode == 0, stderr[-3000:]
+
+
+def test_two_process_train_and_render_match_single_process(tmp_path):
+  single = str(tmp_path / "single.npz")
+  pair = str(tmp_path / "pair.npz")
+  _run_single(single)
+  _run_pair(pair, port=29541)
+
+  a = np.load(single)
+  b = np.load(pair)
+  np.testing.assert_allclose(a["loss"], b["loss"], atol=1e-5, rtol=1e-5)
+  np.testing.assert_allclose(a["rgb"], b["rgb"], atol=1e-5)
+  np.testing.assert_allclose(a["acc"], b["acc"], atol=1e-5)

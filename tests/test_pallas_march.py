@@ -1,17 +1,18 @@
-"""Tests for the experimental Pallas fused march kernel (interpret mode)."""
+"""Tests for the fused Pallas march kernel (interpret mode on CPU)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from jax import random
 
 from samplenerfro_tpu.ops import eikonal_tiled as eikt
 from samplenerfro_tpu.ops import grid as grid_ops
+from samplenerfro_tpu.ops import mlp as fmlp
 from samplenerfro_tpu.ops.pallas import march_kernel
 
 
-def test_pallas_march_matches_xla_tiled():
-  n = 64
+def _setup(n=64):
   spec = grid_ops.GridSpec([n] * 3, [-1.5] * 3, [1.5] * 3)
   axes = np.linspace(-1.5, 1.5, n)
   xx, yy, zz = np.meshgrid(axes, axes, axes, indexing="ij")
@@ -19,22 +20,50 @@ def test_pallas_march_matches_xla_tiled():
   values = jnp.asarray(vals, jnp.float32)
   grad = grid_ops.central_difference_grad(spec, values)
   data = jnp.concatenate([values, grad], axis=-1)
+  return spec, data
 
-  # One coherent pencil of 16 rays.
-  rng = np.random.RandomState(0)
-  d = np.array([[0.002 * i, 0.001 * j, 1.0]
-                for i in range(4) for j in range(4)], np.float32)
+
+def _pencil(nrays=16, spread=0.002):
+  d = np.array([[spread * (i % 4), spread / 2 * (i // 4), 1.0]
+                for i in range(nrays)], np.float32)
   d /= np.linalg.norm(d, axis=-1, keepdims=True)
   o = np.broadcast_to(np.array([0, 0, -4.0], np.float32), d.shape).copy()
-  o, d = jnp.asarray(o), jnp.asarray(d)
+  return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.mark.parametrize("window", [8, 16])
+def test_pallas_march_matches_xla_tiled(window):
+  spec, data = _setup()
+  o, d = _pencil()
   S, near = 32, 2.0
   h = 4.0 / (S - 1)
 
-  # The Pallas kernel's alignment-forced window is 8x16x64, so give the XLA
-  # reference a window that also covers the bundle without clamping.
   ref = eikt.march_tiled(spec, data, o, d, near, h, S, block_size=16,
                          window=16, refetch_every=4)
   assert int(ref[5]) == 0, "reference clamped; enlarge its window"
+  out = march_kernel.march_tiled_pallas(
+      spec, data, o, d, near, h, S, block_size=16, window=window,
+      refetch_every=8, interpret=True)
+  assert int(out[5]) == 0
+  for name, a, b in zip(("pos", "dir", "dist", "n", "g"), ref[:5], out[:5]):
+    np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-4,
+                               err_msg=name)
+
+
+def test_pallas_march_multiblock():
+  """Two blocks with different window origins advance in one kernel."""
+  spec, data = _setup()
+  o1, d1 = _pencil(16)
+  # Second pencil offset sideways (different grid windows).
+  o2 = o1 + jnp.asarray([0.8, -0.5, 0.0])
+  o = jnp.concatenate([o1, o2], axis=0)
+  d = jnp.concatenate([d1, d1], axis=0)
+  S, near = 32, 2.0
+  h = 4.0 / (S - 1)
+
+  ref = eikt.march_tiled(spec, data, o, d, near, h, S, block_size=16,
+                         window=16, refetch_every=4)
+  assert int(ref[5]) == 0
   out = march_kernel.march_tiled_pallas(
       spec, data, o, d, near, h, S, block_size=16, window=8,
       refetch_every=8, interpret=True)
@@ -42,3 +71,64 @@ def test_pallas_march_matches_xla_tiled():
   for name, a, b in zip(("pos", "dir", "dist", "n", "g"), ref[:5], out[:5]):
     np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-4,
                                err_msg=name)
+
+
+def test_pallas_march_so3_path():
+  """In-kernel so3 refinement (PE + skip-MLP + Rodrigues) vs the XLA path."""
+  from samplenerfro_tpu.ops import math as math_ops
+  from samplenerfro_tpu.ops import eikonal as eik_ops
+
+  spec, data = _setup()
+  o, d = _pencil()
+  S, near = 32, 2.0
+  h = 4.0 / (S - 1)
+  max_deg = 10
+  alpha = 0.6
+
+  so3 = fmlp.mlp_init(random.PRNGKey(3), 2 * 3 * max_deg,
+                      output_init_std=5e-3)
+
+  def pred_grad_fn(rp, g):
+    raw = fmlp.mlp_apply(
+        so3, math_ops.annealed_pos_enc(rp, 0, max_deg,
+                                       alpha=alpha * max_deg))
+    return eik_ops.rodrigues_rotate(raw, g)
+
+  ref = eikt.march_tiled(spec, data, o, d, near, h, S, block_size=16,
+                         window=16, refetch_every=4,
+                         pred_grad_fn=pred_grad_fn, use_pred_grad=True)
+  assert int(ref[5]) == 0
+  out = march_kernel.march_tiled_pallas(
+      spec, data, o, d, near, h, S, block_size=16, window=8,
+      refetch_every=8, so3_params=so3, annealed_alpha=alpha,
+      max_deg=max_deg, interpret=True)
+  assert int(out[5]) == 0
+  for name, a, b in zip(("pos", "dir", "dist", "n", "g"), ref[:5], out[:5]):
+    np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-4,
+                               err_msg=name)
+
+
+def test_pallas_march_counts_violations():
+  """An incoherent 'block' must report clamps, like the XLA marcher."""
+  spec, data = _setup()
+  rng = np.random.RandomState(0)
+  d = rng.randn(16, 3).astype(np.float32)
+  d /= np.linalg.norm(d, axis=-1, keepdims=True)
+  o = (rng.randn(16, 3) * 1.0).astype(np.float32)
+  out = march_kernel.march_tiled_pallas(
+      spec, jnp.asarray(data), jnp.asarray(o), jnp.asarray(d), 2.0,
+      4.0 / 31, 32, block_size=16, window=8, refetch_every=8,
+      interpret=True)
+  assert int(out[5]) > 0
+
+
+def test_supports_predicate():
+  spec, _ = _setup(64)
+  assert march_kernel.supports(spec, 32, 1024, block_size=256, window=8,
+                               refetch_every=8)
+  small = grid_ops.GridSpec([33] * 3, [-1] * 3, [1] * 3)
+  assert not march_kernel.supports(small, 32, 1024, block_size=256, window=8)
+  assert not march_kernel.supports(spec, 30, 1024, block_size=256, window=8,
+                                   refetch_every=8)  # S % refetch != 0
+  # Lane-packed layout wants full 128-lane blocks in production.
+  assert not march_kernel.supports(spec, 32, 1024, block_size=16, window=8)

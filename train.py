@@ -74,7 +74,7 @@ def main(unused_argv):
   # tiles itself, so the render model can always honor --march_mode.
   # --march_window=0 auto-calibrates: the smallest window with zero
   # out-of-window clamps on a few probe batches.
-  if FLAGS.march_mode == "tiled" and FLAGS.march_window == 0:
+  if FLAGS.march_mode in ("tiled", "pallas") and FLAGS.march_window == 0:
     from samplenerfro_tpu.train import calibrate
     if FLAGS.batching == "tile":
       probe_batches = [next(dataset) for _ in range(4)]
@@ -97,10 +97,17 @@ def main(unused_argv):
     print(f"march window auto-calibration: {oow_by_window} -> {window}")
     FLAGS.march_window = window
     model = model.clone(march_window=window)
-  render_tile = FLAGS.tile_size if FLAGS.march_mode == "tiled" else 0
+  render_tile = FLAGS.tile_size if FLAGS.march_mode in ("tiled",
+                                                        "pallas") else 0
   train_model = model
-  if FLAGS.march_mode == "tiled" and FLAGS.batching != "tile":
-    train_model = model.clone(march_mode="scan")
+  if FLAGS.march_mode in ("tiled", "pallas"):
+    if FLAGS.batching != "tile":
+      train_model = model.clone(march_mode="scan")
+    elif FLAGS.march_mode == "pallas" and FLAGS.stage.startswith("all"):
+      # The fused kernel is forward-only; the "all" stage differentiates
+      # the march through the so3 head, so train on the XLA tiled marcher
+      # (rendering keeps the fused kernel).
+      train_model = model.clone(march_mode="tiled")
 
   if FLAGS.stage.startswith("ior"):
     dataset = datasets.Grid("train", FLAGS, grid, ndim, nmax, nmin)
@@ -109,11 +116,10 @@ def main(unused_argv):
     extra_dataset = datasets.Grid("train", FLAGS, grid, ndim, nmax, nmin)
 
   mesh = mesh_lib.make_mesh()
-  grid_vars = {"grid": jax.device_put(
-      dict(variables["grid"]), mesh_lib.replicated_sharding(mesh))}
+  grid_vars = {"grid": mesh_lib.replicate(dict(variables["grid"]), mesh)}
 
   train_pstep = step_lib.make_train_step(train_model, FLAGS, grid_vars)
-  render_fn = step_lib.make_render_fn(model, FLAGS, grid_vars)
+  render_fn = step_lib.make_render_fn(model, FLAGS, grid_vars, mesh=mesh)
   tiled_training = train_model.march_mode == "tiled"
 
   ssim_fn = jax.jit(
@@ -138,7 +144,7 @@ def main(unused_argv):
   if extra_dataset is not None:
     extra_dataset.train_it = init_step - 1
 
-  state = jax.device_put(state, mesh_lib.replicated_sharding(mesh))
+  state = mesh_lib.replicate(state, mesh)
 
   summary_writer = None
   if jax.process_index() == 0:
