@@ -7,7 +7,10 @@ Behavioral parity targets (reference SampleNeRFRO):
 
 TPU notes: inputs are flattened to [batch*num_samples, feature] so every
 layer is one large [M, K] x [K, N] matmul on the MXU. Param names follow
-linen's Dense_i auto-naming.
+linen's Dense_i auto-naming. `dtype=jnp.bfloat16` runs the matmul stack in
+bf16 (params stay fp32; raw outputs are cast back to fp32 before the
+activation/compositing math) — an opt-in fast path, quality-gated on the
+synthetic benchmark (scripts/validate_quality.py).
 """
 
 from typing import Any, Callable
@@ -28,15 +31,19 @@ class NerfMLP(nn.Module):
   skip_layer: int = 4
   num_rgb_channels: int = 3
   num_sigma_channels: int = 1
+  dtype: Any = jnp.float32
 
   @nn.compact
   def __call__(self, x, condition=None):
-    """Returns (raw_rgb [B, S, Crgb], raw_sigma [B, S, Csigma])."""
+    """Returns (raw_rgb [B, S, Crgb], raw_sigma [B, S, Csigma]) in fp32."""
     feature_dim = x.shape[-1]
     num_samples = x.shape[1]
-    x = x.reshape([-1, feature_dim])
+    x = x.reshape([-1, feature_dim]).astype(self.dtype)
+    if condition is not None:
+      condition = condition.astype(self.dtype)
     dense_layer = functools.partial(
-        nn.Dense, kernel_init=jax.nn.initializers.glorot_uniform())
+        nn.Dense, kernel_init=jax.nn.initializers.glorot_uniform(),
+        dtype=self.dtype, param_dtype=jnp.float32)
     inputs = x
     for i in range(self.net_depth):
       x = dense_layer(self.net_width)(x)
@@ -44,7 +51,7 @@ class NerfMLP(nn.Module):
       if i % self.skip_layer == 0 and i > 0:
         x = jnp.concatenate([x, inputs], axis=-1)
     raw_sigma = dense_layer(self.num_sigma_channels)(x).reshape(
-        [-1, num_samples, self.num_sigma_channels])
+        [-1, num_samples, self.num_sigma_channels]).astype(jnp.float32)
 
     if condition is not None:
       bottleneck = dense_layer(self.net_width)(x)
@@ -54,7 +61,7 @@ class NerfMLP(nn.Module):
         x = dense_layer(self.net_width_condition)(x)
         x = self.net_activation(x)
     raw_rgb = dense_layer(self.num_rgb_channels)(x).reshape(
-        [-1, num_samples, self.num_rgb_channels])
+        [-1, num_samples, self.num_rgb_channels]).astype(jnp.float32)
     return raw_rgb, raw_sigma
 
 

@@ -86,8 +86,12 @@ class NerfModel(nn.Module):
   tile_block: int = 256
   march_window: int = 16
   march_refetch: int = 8
+  # Radiance-MLP compute dtype ("float32" | "bfloat16"); params stay fp32.
+  mlp_dtype: str = "float32"
 
   def setup(self):
+    compute_dtype = jnp.bfloat16 if self.mlp_dtype == "bfloat16" \
+        else jnp.float32
     mk_nerf_mlp = lambda: mlp_modules.NerfMLP(
         net_depth=self.net_depth,
         net_width=self.net_width,
@@ -96,7 +100,8 @@ class NerfModel(nn.Module):
         net_activation=self.net_activation,
         skip_layer=self.skip_layer,
         num_rgb_channels=self.num_rgb_channels,
-        num_sigma_channels=self.num_sigma_channels)
+        num_sigma_channels=self.num_sigma_channels,
+        dtype=compute_dtype)
     self.coarse_mlp = mk_nerf_mlp()
     if self.num_fine_samples > 0:
       self.fine_mlp = mk_nerf_mlp()
@@ -475,6 +480,7 @@ def construct_nerf(key, example_batch, args, ndim, nmin, nmax, grid,
           g.get("PathSampler.normal_radius_scale", 0.1)),
       ps_unroll=int(getattr(args, "scan_unroll", 8)),
       march_mode=str(getattr(args, "march_mode", "scan")),
+      mlp_dtype=str(getattr(args, "mlp_dtype", "float32")),
       tile_block=int(getattr(args, "tile_size", 16))**2,
       march_window=int(getattr(args, "march_window", 16)),
       march_refetch=int(getattr(args, "march_refetch", 8)),

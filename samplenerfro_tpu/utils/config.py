@@ -206,6 +206,10 @@ def define_flags():
                        "on probe batches.")
   flags.DEFINE_integer("march_refetch", 8,
                        "steps between window refetches in the tiled marcher.")
+  flags.DEFINE_enum("mlp_dtype", "float32", ["float32", "bfloat16"],
+                    "radiance-MLP compute dtype (params stay fp32); "
+                    "bfloat16 is an opt-in fast path, quality-gate it on "
+                    "your scene (scripts/validate_quality.py).")
   flags.DEFINE_enum("march_oow_action", "fallback",
                     ["warn", "fail", "fallback"],
                     "what to do when the tiled marcher reports out-of-window "

@@ -184,3 +184,27 @@ def test_all_stage_uses_so3_gradients():
       lambda a, b: a + float(jnp.sum(jnp.abs(b))),
       grads["path_sampler"], 0.0)
   assert g_norm > 0.0
+
+
+def test_bfloat16_mlp_path():
+  """Opt-in bf16 radiance MLPs: fp32 outputs, close to the fp32 model."""
+  from samplenerfro_tpu.models import construct_nerf
+  from jax import random
+  args = helpers.tiny_args()
+  ndim, nmin, nmax, grid = helpers.make_blob_grid()
+  rays = helpers.make_rays(batch=16)
+  model32, variables = construct_nerf(
+      random.PRNGKey(0), {"rays": rays}, args, ndim, nmin, nmax, grid)
+  args16 = helpers.tiny_args(mlp_dtype="bfloat16")
+  model16, _ = construct_nerf(
+      random.PRNGKey(0), {"rays": rays}, args16, ndim, nmin, nmax, grid)
+
+  k0, k1 = random.PRNGKey(1), random.PRNGKey(2)
+  ret32, _ = model32.apply(variables, k0, k1, rays, False, 0.7)
+  ret16, _ = model16.apply(variables, k0, k1, rays, False, 0.7)
+  rgb32 = np.asarray(ret32[-1][0])
+  rgb16 = np.asarray(ret16[-1][0])
+  assert rgb16.dtype == np.float32
+  assert np.all(np.isfinite(rgb16))
+  # bf16 matmuls: ~1e-2 agreement is expected and sufficient.
+  assert np.max(np.abs(rgb16 - rgb32)) < 5e-2
