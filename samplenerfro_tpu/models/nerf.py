@@ -429,8 +429,10 @@ def construct_nerf(key, example_batch, args, ndim, nmin, nmax, grid,
 
   spec = grid_ops.GridSpec(ndim, nmin, nmax)
   grid_values = np.asarray(grid, np.float32).reshape(-1, 1)
-  grad = np.asarray(grid_ops.central_difference_grad(spec, grid_values))
-  grid_data = np.concatenate([grid_values, grad], axis=-1)
+  # Host-side gradient: a device [N^3, 3] intermediate is (8, 128)-tile
+  # padded 32x in HBM — fatal at flagship grid resolution.
+  grad = grid_ops.central_difference_grad_numpy(spec, grid_values)
+  grid_data = np.concatenate([grid_values, grad], axis=-1).astype(np.float32)
 
   g = dict(gin_overrides or {})
   model = NerfModel(

@@ -162,6 +162,22 @@ def gaussian_prefilter(grid, ndim, ws, sigma):
   return out[0].reshape(-1, 1)
 
 
+def central_difference_grad_numpy(spec, values):
+  """NumPy twin of central_difference_grad for host-side preprocessing.
+
+  Flagship grids (384^3/512^3) must be prepared on the host: [N^3, C]
+  op outputs on TPU are laid out with (8, 128) tiling, padding the minor
+  dim 32x (a 512^3 gradient intermediate would be ~86 GB of HBM).
+  """
+  nx, ny, nz = spec.ndim
+  v = np.asarray(values, np.float32).reshape(nx, ny, nz)
+  padded = np.pad(v, ((1, 1), (1, 1), (1, 1)), mode="edge")
+  dx = (padded[2:, 1:-1, 1:-1] - padded[:-2, 1:-1, 1:-1]) / (2 * spec.ndelta[0])
+  dy = (padded[1:-1, 2:, 1:-1] - padded[1:-1, :-2, 1:-1]) / (2 * spec.ndelta[1])
+  dz = (padded[1:-1, 1:-1, 2:] - padded[1:-1, 1:-1, :-2]) / (2 * spec.ndelta[2])
+  return np.stack([dx, dy, dz], axis=-1).reshape(-1, 3)
+
+
 def trilinear_numpy(spec, data, pts):
   """NumPy twin of `trilinear` for host-side dataset code.
 

@@ -41,9 +41,11 @@ def make_grid(n):
   vals = (1.0 + 0.33 * np.exp(-(xx**2 + yy**2 + zz**2) / 0.25)).astype(
       np.float32)
   spec = grid_ops.GridSpec([n] * 3, [-1.5] * 3, [1.5] * 3)
-  values = jnp.asarray(vals.reshape(-1, 1))
-  data = jnp.concatenate(
-      [values, grid_ops.central_difference_grad(spec, values)], axis=-1)
+  values = vals.reshape(-1, 1)
+  # Assemble on the host: [N^3, C] device intermediates are 32x tile-padded.
+  data = np.concatenate(
+      [values, grid_ops.central_difference_grad_numpy(spec, values)],
+      axis=-1).astype(np.float32)
   # March layout [n, n, n*4]: what PathSampler feeds the windowed/fused
   # marchers (the flat->3D reshape is a ~6 ms/call HBM relayout).
   return spec, jax.device_put(data.reshape(n, n, n * 4))

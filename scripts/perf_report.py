@@ -1,0 +1,216 @@
+"""Honest performance report for the production train step on real hardware.
+
+Times the ship-scale radiance train step and its stages separately (march,
+coarse featurize+MLP+composite, hierarchical resample, fine MLP+composite,
+full forward, full step), computes FLOP counts from XLA's own cost model
+(compiled.cost_analysis()), derives MFU against the chip's peak, and writes
+PERF.md. Optionally captures a jax profiler trace (--trace DIR).
+
+Numbers have provenance: everything here is measured on the attached
+accelerator; no estimated baselines appear in the output.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax.training.train_state import TrainState
+from jax import random
+
+import bench
+from samplenerfro_tpu.models import construct_nerf
+from samplenerfro_tpu.ops import render as render_ops
+from samplenerfro_tpu.parallel import mesh as mesh_lib
+from samplenerfro_tpu.train import step as step_lib
+
+# Peak dense-matmul throughput of one v5e TensorCore (public figure):
+# 197 TFLOP/s bf16, ~98.5 TFLOP/s fp32-via-bf16x3 effective ceiling is
+# workload-dependent; MFU is reported against the bf16 peak (the
+# conventional denominator).
+V5E_PEAK_FLOPS = 197e12
+
+
+def _sync(x):
+  return jax.device_get(jax.tree_util.tree_map(lambda a: a.sum(), x))
+
+
+def timeit(fn, *args, iters=10):
+  out = fn(*args)
+  _sync(out)
+  t0 = time.perf_counter()
+  for _ in range(iters):
+    out = fn(*args)
+  _sync(out)
+  return (time.perf_counter() - t0) / iters
+
+
+def cost_flops(jitted, *args):
+  try:
+    cost = jitted.lower(*args).compile().cost_analysis()
+    if isinstance(cost, list):
+      cost = cost[0]
+    return float(cost.get("flops", float("nan")))
+  except Exception:  # noqa: BLE001 - cost model availability varies
+    return float("nan")
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  parser.add_argument("--march_mode", default="pallas")
+  parser.add_argument("--window", type=int, default=16)
+  parser.add_argument("--grid_n", type=int, default=128)
+  parser.add_argument("--iters", type=int, default=10)
+  parser.add_argument("--trace", default=None,
+                      help="directory for a jax profiler trace")
+  parser.add_argument("--out", default="PERF.md")
+  args_cli = parser.parse_args()
+
+  dev = jax.devices()[0]
+  args = bench.ship_args(march_mode=args_cli.march_mode, tile_size=16,
+                         march_window=args_cli.window, march_refetch=8)
+  grid = bench.blob_grid(args_cli.grid_n)
+  batch = bench.make_inputs(bench.BATCH, tiled=True)
+  model, variables = construct_nerf(
+      random.PRNGKey(0), {"rays": batch["rays"]}, args,
+      [args_cli.grid_n] * 3, [-1.5] * 3, [1.5] * 3, grid)
+  mesh = mesh_lib.make_mesh()
+  grid_vars = {"grid": mesh_lib.replicate(dict(variables["grid"]), mesh)}
+  tx, _, _ = step_lib.create_optimizer(args)
+  state = TrainState.create(apply_fn=model.apply,
+                            params=variables["params"], tx=tx)
+  state = mesh_lib.replicate(state, mesh)
+  tstep = step_lib.make_train_step(model, args, grid_vars, donate=False)
+  dbatch = mesh_lib.put_batch(batch, mesh)
+  keys = random.PRNGKey(1)
+
+  # --- stage functions ----------------------------------------------------
+  @jax.jit
+  def march_only(params, grid, rays):
+    v = {"params": params, **grid}
+    return model.apply(v, rays.origins, rays.viewdirs,
+                       jnp.float32(0.5),
+                       method=lambda m, o, d, a: m.path_sampler(o, d, a))
+
+  @jax.jit
+  def full_forward(params, grid, key0, key1, rays):
+    v = {"params": params, **grid}
+    ret, _ = model.apply(v, key0, key1, rays, True, jnp.float32(0.5))
+    return ret[-1][0]
+
+  rays = dbatch["rays"]
+  k0, k1 = random.split(keys)
+
+  t_march = timeit(march_only, state.params, grid_vars, rays,
+                   iters=args_cli.iters)
+  t_fwd = timeit(full_forward, state.params, grid_vars, k0, k1, rays,
+                 iters=args_cli.iters)
+
+  def run_step(keys, state):
+    return tstep(keys, state, dbatch)
+
+  t_step = timeit(run_step, keys, state, iters=args_cli.iters)
+
+  # Coarse/fine MLP cost proxies: jitted standalone MLP applies at the
+  # step's true shapes (1024x64 coarse, 1024x192 fine; PE 63 + viewdir 27).
+  coarse_in = jnp.zeros((1024, 64, 63), jnp.float32)
+  fine_in = jnp.zeros((1024, 192, 63), jnp.float32)
+  vdir = jnp.zeros((1024, 64, 27), jnp.float32)
+  vdir_f = jnp.zeros((1024, 192, 27), jnp.float32)
+  cparams = variables["params"]["coarse_mlp"]
+  from samplenerfro_tpu.models import mlp as mlp_modules
+  nerf_mlp = mlp_modules.NerfMLP()
+
+  @jax.jit
+  def coarse_mlp(p, x, c):
+    return nerf_mlp.apply({"params": p}, x, c)
+
+  t_coarse = timeit(coarse_mlp, cparams, coarse_in, vdir, iters=args_cli.iters)
+  t_fine = timeit(coarse_mlp, cparams, fine_in, vdir_f, iters=args_cli.iters)
+
+  # Hierarchical resample at step shape.
+  rngk = random.PRNGKey(9)
+  bins = jnp.sort(jax.random.uniform(rngk, (1024, 63)) * 4 + 2, axis=-1)
+  weights = jax.random.uniform(rngk, (1024, 62))
+  pdist = jnp.cumsum(jax.random.uniform(rngk, (1024, 768)) * 0.01, -1) + 2
+  ppos = jax.random.normal(rngk, (1024, 768, 3))
+  jitter = jnp.arange(0, 768, 12)
+
+  @jax.jit
+  def resample(key, bins, weights, ppos, pdist):
+    return render_ops.sample_pdf(key, bins, weights, ppos, ppos, pdist,
+                                 ppos, 128, True, jitter, 2.0)
+
+  t_resample = timeit(resample, rngk, bins, weights, ppos, pdist,
+                      iters=args_cli.iters)
+
+  # cost_analysis via freshly jitted loss/grad (make_train_step returns a
+  # closure; lowering access needs the jit object).
+  loss_jit = jax.jit(lambda k, s, b, g: step_lib.make_loss_fn(model, args)(
+      s.params, g, k, k, k, b))
+  flops_fwd = cost_flops(loss_jit, keys, state, dbatch, grid_vars)
+  flops_full = cost_flops(jax.jit(
+      lambda k, s, b: (jax.value_and_grad(
+          lambda p: step_lib.make_loss_fn(model, args)(
+              p, grid_vars, k, k, k, b)[0])(s.params))), keys, state, dbatch)
+
+  rays_per_sec = bench.BATCH / t_step
+  mfu = (flops_full / t_step) / V5E_PEAK_FLOPS if np.isfinite(flops_full) \
+      else float("nan")
+
+  lines = [
+      "# PERF — measured step breakdown and MFU (production config)",
+      "",
+      f"Device: {dev.device_kind} (1 chip); workload: ship scale "
+      f"(batch 1024 rays, 64x12=768 march steps, 64 coarse + 128 fine "
+      f"samples, 8x256 MLPs, {args_cli.grid_n}^3 grid, "
+      f"march_mode={args_cli.march_mode}, window={args_cli.window}).",
+      "All numbers measured on this device (no estimates); generated by "
+      "scripts/perf_report.py.",
+      "",
+      "| Stage | Time / step | Share |",
+      "|---|---|---|",
+      f"| eikonal march (fwd) | {t_march*1e3:.2f} ms | "
+      f"{t_march/t_step*100:.0f}% |",
+      f"| coarse NerfMLP (1024x64, fwd) | {t_coarse*1e3:.2f} ms | "
+      f"{t_coarse/t_step*100:.0f}% |",
+      f"| hierarchical resample | {t_resample*1e3:.2f} ms | "
+      f"{t_resample/t_step*100:.0f}% |",
+      f"| fine NerfMLP (1024x192, fwd) | {t_fine*1e3:.2f} ms | "
+      f"{t_fine/t_step*100:.0f}% |",
+      f"| full forward (model.apply) | {t_fwd*1e3:.2f} ms | "
+      f"{t_fwd/t_step*100:.0f}% |",
+      f"| full train step (fwd+bwd+opt) | {t_step*1e3:.2f} ms | 100% |",
+      "",
+      f"- train_rays_per_sec: **{rays_per_sec:,.0f}**",
+      f"- XLA cost model FLOPs: forward {flops_fwd/1e9:.1f} GFLOP, "
+      f"fwd+bwd {flops_full/1e9:.1f} GFLOP per step",
+      f"- MFU vs one-v5e bf16 peak ({V5E_PEAK_FLOPS/1e12:.0f} TFLOP/s): "
+      f"**{mfu*100:.2f}%**",
+      "",
+      "The workload is intentionally NOT matmul-shaped: the 768-step "
+      "sequential eikonal march and the per-sample featurization dominate, "
+      "so low MFU is expected; rays/s is the operative metric (the "
+      "reference's own headline metric, train.py:412-416).",
+      "",
+  ]
+  with open(args_cli.out, "w") as f:
+    f.write("\n".join(lines))
+  print("\n".join(lines))
+
+  if args_cli.trace:
+    jax.profiler.start_trace(args_cli.trace)
+    for _ in range(3):
+      out = run_step(keys, state)
+    _sync(out)
+    jax.profiler.stop_trace()
+    print(f"profiler trace written to {args_cli.trace}")
+
+
+if __name__ == "__main__":
+  main()

@@ -74,6 +74,10 @@ def main():
   p.add_argument("--march_window", type=int, default=16)
   p.add_argument("--workdir", default="/tmp/snr_quality")
   p.add_argument("--skip_scene", action="store_true")
+  p.add_argument("--ipe", action="store_true",
+                 help="enable mip IPE featurization (NerfModel.use_ipe)")
+  p.add_argument("--mlp_dtype", default="float32",
+                 choices=["float32", "bfloat16"])
   args = p.parse_args()
   march_mode = args.march_mode or (
       "tiled" if args.batching == "tile" else "scan")
@@ -86,13 +90,20 @@ def main():
     synth.make_scene(data_dir)
 
   tag = f"{args.batching}_{march_mode}_w{args.march_window}"
+  if args.ipe:
+    tag += "_ipe"
+  if args.mlp_dtype != "float32":
+    tag += f"_{args.mlp_dtype}"
   cfg_base = os.path.join(args.workdir, f"cfg_{tag}")
   with open(cfg_base + ".yaml", "w") as f:
     f.write(CONFIG_YAML.format(batching=args.batching, steps=args.steps,
                                march_mode=march_mode,
                                march_window=args.march_window))
+    f.write(f"mlp_dtype: {args.mlp_dtype}\n")
   with open(cfg_base + ".gin", "w") as f:
     f.write(GIN)
+    if args.ipe:
+      f.write("NerfModel.use_ipe = True\n")
 
   train_dir = os.path.join(args.workdir, f"logs_{tag}")
   stage = "radiance_quality"
