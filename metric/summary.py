@@ -71,7 +71,18 @@ def compute_ssim(ssim_model, ref, src):
 
 
 def make_lpips_models():
-  """LPIPS (AlexNet) if pretrained weights are available; else None."""
+  """LPIPS (AlexNet) if pretrained weights are available; else None.
+
+  Prefers the in-repo torch implementation (metric/lpips_torch.py) fed by
+  a local weight file ($LPIPS_WEIGHTS or metric/weights/lpips_alex.pth,
+  producible offline via scripts/convert_lpips_weights.py); falls back to
+  the `lpips` package if installed with cached weights.
+  """
+  import lpips_torch
+  model0 = lpips_torch.load_lpips(spatial=False)
+  model1 = lpips_torch.load_lpips(spatial=True)
+  if model0 is not None:
+    return model0, model1
   try:
     import lpips  # noqa: F401
     model0 = lpips.LPIPS(net="alex", verbose=False)

@@ -117,3 +117,48 @@ def test_summary_cli(tmp_path):
   assert (preds / "metric_list.txt").exists()
   assert (preds / "errmap" / "flip_000.png").exists()
   assert (preds / "errmap" / "frame" / "frame_000.png").exists()
+
+
+def _random_lpips_weight_file(path, rng):
+  import torch
+  import lpips_torch
+  net = lpips_torch.AlexNetFeatures()
+  convs = {k: torch.tensor(rng.randn(*v.shape).astype(np.float32)) * 0.05
+           for k, v in net.state_dict().items()}
+  lin = [torch.tensor(np.abs(rng.randn(1, c, 1, 1)).astype(np.float32))
+         for c in lpips_torch.CHANNELS]
+  torch.save({"alexnet": convs, "lin": lin}, path)
+
+
+def test_lpips_torch_identity_and_spatial(tmp_path):
+  import torch
+  import lpips_torch
+  rng = np.random.RandomState(0)
+  wpath = tmp_path / "lpips_alex.pth"
+  _random_lpips_weight_file(wpath, rng)
+
+  model = lpips_torch.load_lpips(spatial=False, path=str(wpath))
+  model_sp = lpips_torch.load_lpips(spatial=True, path=str(wpath))
+  assert model is not None and model_sp is not None
+
+  img0 = torch.tensor(rng.rand(1, 3, 64, 64).astype(np.float32))
+  noise = torch.tensor(rng.randn(1, 3, 64, 64).astype(np.float32))
+
+  d_same = model(img0, img0, normalize=True).item()
+  assert d_same == 0.0
+  d_small = model(img0, (img0 + 0.05 * noise).clamp(0, 1),
+                  normalize=True).item()
+  d_big = model(img0, (img0 + 0.5 * noise).clamp(0, 1),
+                normalize=True).item()
+  assert 0 < d_small < d_big
+
+  emap = model_sp(img0, (img0 + 0.2 * noise).clamp(0, 1), normalize=True)
+  assert emap.shape == (1, 1, 64, 64)
+  assert abs(emap.mean().item()
+             - model(img0, (img0 + 0.2 * noise).clamp(0, 1),
+                     normalize=True).item()) < 0.05
+
+
+def test_lpips_missing_weights_returns_none(tmp_path):
+  import lpips_torch
+  assert lpips_torch.load_lpips(path=str(tmp_path / "absent.pth")) is None
