@@ -35,6 +35,9 @@ from flax.training.train_state import TrainState
 from jax import random
 
 from samplenerfro_tpu.data.rays import Rays
+from samplenerfro_tpu.utils import config as config_lib
+
+config_lib.apply_platform_overrides()
 from samplenerfro_tpu.models import construct_nerf
 from samplenerfro_tpu.parallel import mesh as mesh_lib
 from samplenerfro_tpu.train import step as step_lib
@@ -116,6 +119,19 @@ def make_inputs(batch, seed=0, tiled=False, tile=16):
   }
 
 
+def camera_rays(res=800, fov=0.69):
+  """Full-view camera ray grid [res, res, C] (eval-render workload)."""
+  xs = (np.arange(res) - res / 2) / res * fov
+  ys = (np.arange(res) - res / 2) / res * fov
+  dx, dy = np.meshgrid(np.tan(xs), np.tan(ys))
+  d = np.stack([dx, dy, np.ones_like(dx)], -1)
+  d /= np.linalg.norm(d, axis=-1, keepdims=True)
+  o = np.broadcast_to(np.array([0, 0, -4.0], np.float32), d.shape).copy()
+  return Rays(origins=o.astype(np.float32), directions=d.astype(np.float32),
+              viewdirs=d.astype(np.float32),
+              radii=np.full((res, res, 1), 0.001, np.float32))
+
+
 def blob_grid(n):
   axes = np.linspace(-1.5, 1.5, n)
   xx, yy, zz = np.meshgrid(axes, axes, axes, indexing="ij")
@@ -146,6 +162,34 @@ def main():
 
   dbatch = mesh_lib.put_batch(batch, mesh)
   keys = random.PRNGKey(1)
+
+  if os.environ.get("BENCH_MODE", "train") == "eval":
+    # Eval-render throughput (the reference's test_rays_per_sec,
+    # train.py:450-454): chunked tile-reordered full-image render.
+    from samplenerfro_tpu.utils import render as render_lib
+    render_fn = step_lib.make_render_fn(model, args, grid_vars, mesh=mesh)
+    res = int(os.environ.get("BENCH_EVAL_RES", "800"))
+    chunk = int(os.environ.get("BENCH_EVAL_CHUNK", "8192"))
+    img_rays = camera_rays(res)
+    params = state.params
+    render_image = lambda: render_lib.render_image(
+        lambda k0, k1, r: render_fn(params, k0, k1, r), img_rays,
+        random.PRNGKey(2), False, chunk=chunk, mesh=mesh,
+        tile=(args.tile_size if march_mode in ("tiled", "pallas") else 0))
+    render_image()  # warmup/compile
+    t0 = time.perf_counter()
+    render_image()
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "test_rays_per_sec",
+        "value": round(res * res / dt, 1),
+        "unit": "rays/s",
+        "vs_baseline": None,
+        "baseline_provenance": "reference publishes no eval numbers",
+        "march_mode": march_mode, "grid_n": GRID_N,
+        "secs_per_frame": round(dt, 3), "res": res,
+    }))
+    return
 
   # Warmup / compile.
   for _ in range(3):

@@ -47,6 +47,29 @@ _ZEXT = 64  # z window extent (voxels); 32-aligned origin => covers extent 31
 # Interpolation matmul precision (HIGHEST == fp32-exact bf16x3, required for
 # parity with the XLA marcher; module knob for ablation).
 _INTERP_PRECISION = jax.lax.Precision.HIGHEST
+# Scoped-VMEM budget for one kernel invocation. The kernel advances every
+# ray block per grid step, so its scratch (grid windows + transposes + ray
+# state) and double-buffered output scale LINEARLY with the block count;
+# Mosaic's scoped-vmem stack is 16 MB. Batches needing more blocks are
+# split into sequential kernel calls (march_tiled_pallas).
+_VMEM_BUDGET_BYTES = 13 * 2**20
+
+
+def _per_block_vmem_bytes(window, refetch_every, block_size):
+  """Scoped-VMEM bytes one ray block contributes to a kernel invocation."""
+  yext = window + 8
+  zc = _ZEXT * 4
+  win_scratch = window * yext * zc * 4      # grid window (VMEM scratch)
+  tr_scratch = zc * window * yext * 4       # transposed window scratch
+  out_block = refetch_every * 11 * block_size * 4 * 2  # double-buffered
+  state = 3 * 3 * block_size * 4
+  return win_scratch + tr_scratch + out_block + state
+
+
+def max_blocks_per_call(window, refetch_every, block_size):
+  """Largest block count whose scratch+output staging fits scoped VMEM."""
+  return max(1, _VMEM_BUDGET_BYTES
+             // _per_block_vmem_bytes(window, refetch_every, block_size))
 
 
 def _supports(spec, num_samples, batch, block_size, window, refetch_every):
@@ -416,8 +439,32 @@ def march_tiled_pallas(spec, data, origins, directions, near, step_size,
   # runs) fall back to the interpreter, which is slow but exact.
   if not interpret and jax.default_backend() != "tpu":
     interpret = True
-  return _march_pallas_impl(
-      spec, jax.lax.stop_gradient(data), jax.lax.stop_gradient(origins),
-      jax.lax.stop_gradient(directions), near, step_size, num_samples,
-      so3_inputs, block_size, window, refetch_every, max_deg, unroll,
-      interpret)
+  data = jax.lax.stop_gradient(data)
+  origins = jax.lax.stop_gradient(origins)
+  directions = jax.lax.stop_gradient(directions)
+
+  # The kernel's scoped VMEM scales with the block count (see
+  # _VMEM_BUDGET_BYTES): split large batches (eval render chunks) into
+  # sequential kernel calls that each fit the budget.
+  batch = origins.shape[0]
+  nb_total = batch // block_size
+  max_nb = max_blocks_per_call(window, refetch_every, block_size)
+  if nb_total <= max_nb:
+    return _march_pallas_impl(
+        spec, data, origins, directions, near, step_size, num_samples,
+        so3_inputs, block_size, window, refetch_every, max_deg, unroll,
+        interpret)
+
+  parts = []
+  oow_total = jnp.int32(0)
+  rows = max_nb * block_size
+  for start in range(0, batch, rows):
+    end = min(start + rows, batch)
+    pos, dirs, dist, nvals, g, oow = _march_pallas_impl(
+        spec, data, origins[start:end], directions[start:end], near,
+        step_size, num_samples, so3_inputs, block_size, window,
+        refetch_every, max_deg, unroll, interpret)
+    parts.append((pos, dirs, dist, nvals, g))
+    oow_total = oow_total + oow
+  stacked = [jnp.concatenate(cols, axis=0) for cols in zip(*parts)]
+  return (*stacked, oow_total)

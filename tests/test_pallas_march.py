@@ -132,3 +132,31 @@ def test_supports_predicate():
                                    refetch_every=8)  # S % refetch != 0
   # Lane-packed layout wants full 128-lane blocks in production.
   assert not march_kernel.supports(spec, 32, 1024, block_size=16, window=8)
+
+
+def test_pallas_march_vmem_split_exact(monkeypatch):
+  """Batches above the VMEM block budget split into identical sub-calls."""
+  spec, data = _setup()
+  o1, d1 = _pencil(16)
+  o = jnp.concatenate([o1, o1 + jnp.asarray([0.8, -0.5, 0.0]),
+                       o1 + jnp.asarray([-0.6, 0.4, 0.0]),
+                       o1 + jnp.asarray([0.0, 0.9, 0.0])], axis=0)
+  d = jnp.concatenate([d1] * 4, axis=0)
+  S, near = 32, 2.0
+  h = 4.0 / (S - 1)
+
+  kwargs = dict(block_size=16, window=16, refetch_every=8, interpret=True)
+  whole = march_kernel.march_tiled_pallas(spec, data, o, d, near, h, S,
+                                          **kwargs)
+  # Budget for ~1.5 blocks -> 4 blocks split into ceil(4/1) or 2-block calls.
+  monkeypatch.setattr(
+      march_kernel, "_VMEM_BUDGET_BYTES",
+      int(1.5 * march_kernel._per_block_vmem_bytes(16, 8, 16)))
+  assert march_kernel.max_blocks_per_call(16, 8, 16) == 1
+  split = march_kernel.march_tiled_pallas(spec, data, o, d, near, h, S,
+                                          **kwargs)
+  for name, a, b in zip(("pos", "dir", "dist", "n", "g"), whole[:5],
+                        split[:5]):
+    np.testing.assert_allclose(np.array(a), np.array(b), atol=0,
+                               err_msg=name)
+  assert int(whole[5]) == int(split[5])
