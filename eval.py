@@ -99,7 +99,8 @@ def main(unused_argv):
           functools.partial(render_fn, params),
           batch["rays"], rng, FLAGS.dataset == "llff",
           chunk=FLAGS.chunk, mesh=mesh,
-          tile=FLAGS.tile_size if FLAGS.march_mode == "tiled" else 0)
+          tile=(FLAGS.tile_size
+                if FLAGS.march_mode in ("tiled", "pallas") else 0))
       vis_suite = vis.visualize_suite(pred_disp[..., 0], pred_acc[..., 0])
 
       if jax.process_index() != 0:

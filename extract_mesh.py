@@ -96,7 +96,8 @@ def main(unused_argv):
   pred_color, _, pred_acc = render_lib.render_image(
       functools.partial(render_fn, params), batch["rays"], rng,
       FLAGS.dataset == "llff", chunk=FLAGS.chunk, mesh=mesh,
-      tile=FLAGS.tile_size if FLAGS.march_mode == "tiled" else 0)
+      tile=(FLAGS.tile_size
+            if FLAGS.march_mode in ("tiled", "pallas") else 0))
   io_lib.save_img(pred_color, path.join(out_dir, "color.png"))
   np.save(path.join(out_dir, "acc.npy"), np.asarray(pred_acc))
 

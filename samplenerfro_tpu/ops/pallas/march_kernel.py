@@ -50,26 +50,45 @@ _INTERP_PRECISION = jax.lax.Precision.HIGHEST
 # Scoped-VMEM budget for one kernel invocation. The kernel advances every
 # ray block per grid step, so its scratch (grid windows + transposes + ray
 # state) and double-buffered output scale LINEARLY with the block count;
-# Mosaic's scoped-vmem stack is 16 MB. Batches needing more blocks are
-# split into sequential kernel calls (march_tiled_pallas).
+# Mosaic's scoped-vmem stack is 16 MB and also holds loop temporaries and
+# spills the model below can't see. Additionally, a SMALL grid (the
+# memory_space=ANY operand) may be placed entirely in VMEM by the compiler
+# — measured ~10.5 MB of nb-independent scoped use with a 4 MB grid — so
+# the grid's footprint is charged against the budget when it can plausibly
+# be VMEM-resident. Batches needing more blocks are split into sequential
+# kernel calls (march_tiled_pallas).
 _VMEM_BUDGET_BYTES = 13 * 2**20
+_GRID_VMEM_RESIDENT_MAX = 6 * 2**20
+
+
+def _pad8(x):
+  return -(-x // 8) * 8
 
 
 def _per_block_vmem_bytes(window, refetch_every, block_size):
-  """Scoped-VMEM bytes one ray block contributes to a kernel invocation."""
+  """Scoped-VMEM bytes one ray block contributes to a kernel invocation.
+
+  Minor-two dims of every buffer are (8, 128)-tile padded, hence the
+  sublane rounding on the second-minor extents. Intentionally conservative
+  (the fitted variable cost at w16 is ~0.43 MB/block; this model charges
+  ~1.1 MB): splitting into a few extra sequential calls is cheap, a
+  scoped-vmem compile failure is not.
+  """
   yext = window + 8
   zc = _ZEXT * 4
-  win_scratch = window * yext * zc * 4      # grid window (VMEM scratch)
-  tr_scratch = zc * window * yext * 4       # transposed window scratch
-  out_block = refetch_every * 11 * block_size * 4 * 2  # double-buffered
-  state = 3 * 3 * block_size * 4
+  win_scratch = window * _pad8(yext) * zc * 4   # grid window (VMEM scratch)
+  tr_scratch = zc * window * yext * 4           # transposed window scratch
+  out_block = refetch_every * _pad8(11) * block_size * 4 * 2  # dbl-buffered
+  state = 3 * _pad8(3) * block_size * 4
   return win_scratch + tr_scratch + out_block + state
 
 
-def max_blocks_per_call(window, refetch_every, block_size):
+def max_blocks_per_call(window, refetch_every, block_size, grid_bytes=0):
   """Largest block count whose scratch+output staging fits scoped VMEM."""
-  return max(1, _VMEM_BUDGET_BYTES
-             // _per_block_vmem_bytes(window, refetch_every, block_size))
+  fixed = 2 * grid_bytes if grid_bytes <= _GRID_VMEM_RESIDENT_MAX else 0
+  avail = _VMEM_BUDGET_BYTES - fixed
+  return max(1, avail // _per_block_vmem_bytes(window, refetch_every,
+                                               block_size))
 
 
 def _supports(spec, num_samples, batch, block_size, window, refetch_every):
@@ -448,7 +467,8 @@ def march_tiled_pallas(spec, data, origins, directions, near, step_size,
   # sequential kernel calls that each fit the budget.
   batch = origins.shape[0]
   nb_total = batch // block_size
-  max_nb = max_blocks_per_call(window, refetch_every, block_size)
+  max_nb = max_blocks_per_call(window, refetch_every, block_size,
+                               grid_bytes=data.size * 4)
   if nb_total <= max_nb:
     return _march_pallas_impl(
         spec, data, origins, directions, near, step_size, num_samples,

@@ -263,6 +263,12 @@ def make_train_step(model, args, grid_vars, donate=True):
 def make_render_fn(model, args, grid_vars, mesh=None):
   """Jitted deterministic renderer for eval.
 
+  Rendering always computes the MLPs in fp32: `--mlp_dtype=bfloat16` is a
+  training-throughput knob (params stay fp32, so the same weights render
+  in either dtype); eval should report best-quality numbers — and the
+  bf16 render program additionally trips a TPU-backend regalloc
+  RET_CHECK (jellyfish lsrav2 live_range_finder) on current toolchains.
+
   Returns the final-level tuple plus the tiled-marcher window-violation
   count (0 when exact / when the scan marcher ran). Replaces the
   reference's pmapped render_fn + all_gather (eval.py:95-105): under jit
@@ -271,6 +277,8 @@ def make_render_fn(model, args, grid_vars, mesh=None):
   GSPMD all-gather over ICI) so every host can fetch the full chunk —
   the moral equivalent of the reference's lax.all_gather.
   """
+  if getattr(model, "mlp_dtype", "float32") != "float32":
+    model = model.clone(mlp_dtype="float32")
   replicate_out = mesh is not None and jax.process_count() > 1
 
   @functools.partial(jax.jit, static_argnames=())

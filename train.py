@@ -120,7 +120,7 @@ def main(unused_argv):
 
   train_pstep = step_lib.make_train_step(train_model, FLAGS, grid_vars)
   render_fn = step_lib.make_render_fn(model, FLAGS, grid_vars, mesh=mesh)
-  tiled_training = train_model.march_mode == "tiled"
+  tiled_training = train_model.march_mode in ("tiled", "pallas")
 
   ssim_fn = jax.jit(
       functools.partial(metrics.compute_ssim, max_val=1.0), backend="cpu")
