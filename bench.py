@@ -143,8 +143,13 @@ def main():
   import os
   march_mode = os.environ.get("BENCH_MARCH_MODE", "pallas")
   window = int(os.environ.get("BENCH_MARCH_WINDOW", "16"))
+  # Production default: bf16 radiance MLPs (quality-validated neutral on
+  # the synthetic benchmark — STATUS.md "Quality A/B"); scan mode stays
+  # fp32 (it is the reference-parity configuration).
+  mlp_dtype = os.environ.get(
+      "BENCH_MLP_DTYPE", "float32" if march_mode == "scan" else "bfloat16")
   args = ship_args(march_mode=march_mode, tile_size=16, march_window=window,
-                   march_refetch=8)
+                   march_refetch=8, mlp_dtype=mlp_dtype)
   grid = blob_grid(GRID_N)
   batch = make_inputs(BATCH, tiled=(march_mode in ("tiled", "pallas")))
 
@@ -213,6 +218,7 @@ def main():
       "vs_parity_scan_tpu": round(
           rays_per_sec / PARITY_SCAN_TPU_RAYS_PER_SEC, 3),
       "march_mode": march_mode,
+      "mlp_dtype": mlp_dtype,
       "grid_n": GRID_N,
   }))
 

@@ -63,6 +63,8 @@ def cost_flops(jitted, *args):
 def main():
   parser = argparse.ArgumentParser()
   parser.add_argument("--march_mode", default="pallas")
+  parser.add_argument("--mlp_dtype", default="bfloat16",
+                      help="radiance-MLP compute dtype (production: bf16)")
   parser.add_argument("--window", type=int, default=16)
   parser.add_argument("--grid_n", type=int, default=128)
   parser.add_argument("--iters", type=int, default=10)
@@ -73,7 +75,8 @@ def main():
 
   dev = jax.devices()[0]
   args = bench.ship_args(march_mode=args_cli.march_mode, tile_size=16,
-                         march_window=args_cli.window, march_refetch=8)
+                         march_window=args_cli.window, march_refetch=8,
+                         mlp_dtype=args_cli.mlp_dtype)
   grid = bench.blob_grid(args_cli.grid_n)
   batch = bench.make_inputs(bench.BATCH, tiled=True)
   model, variables = construct_nerf(
@@ -124,7 +127,9 @@ def main():
   vdir_f = jnp.zeros((1024, 192, 27), jnp.float32)
   cparams = variables["params"]["coarse_mlp"]
   from samplenerfro_tpu.models import mlp as mlp_modules
-  nerf_mlp = mlp_modules.NerfMLP()
+  nerf_mlp = mlp_modules.NerfMLP(
+      dtype=jnp.bfloat16 if args_cli.mlp_dtype == "bfloat16"
+      else jnp.float32)
 
   @jax.jit
   def coarse_mlp(p, x, c):
@@ -168,8 +173,8 @@ def main():
       "",
       f"Device: {dev.device_kind} (1 chip); workload: ship scale "
       f"(batch 1024 rays, 64x12=768 march steps, 64 coarse + 128 fine "
-      f"samples, 8x256 MLPs, {args_cli.grid_n}^3 grid, "
-      f"march_mode={args_cli.march_mode}, window={args_cli.window}).",
+      f"samples, 8x256 MLPs ({args_cli.mlp_dtype}), {args_cli.grid_n}^3 "
+      f"grid, march_mode={args_cli.march_mode}, window={args_cli.window}).",
       "All numbers measured on this device (no estimates); generated by "
       "scripts/perf_report.py.",
       "",
