@@ -76,6 +76,13 @@ def main(unused_argv):
   for _ in range(img_idx):
     batch = next(dataset)
 
+  if FLAGS.march_mode in ("tiled", "pallas") and FLAGS.march_window == 0:
+    from samplenerfro_tpu.train import calibrate
+    model, FLAGS.march_window = calibrate.maybe_autocalibrate(
+        model, variables, FLAGS,
+        calibrate.probe_batches_from_view(
+            batch["rays"], FLAGS.tile_size, FLAGS.batch_size))
+
   mesh = mesh_lib.make_mesh()
   grid_vars = {"grid": mesh_lib.replicate(dict(variables["grid"]), mesh)}
   render_fn = step_lib.make_render_fn(model, FLAGS, grid_vars, mesh=mesh)

@@ -13,6 +13,39 @@ import jax
 import numpy as np
 
 
+def probe_batches_from_view(rays, tile_size, batch_size):
+  """Tile-reordered probe rays from one [H, W] camera view.
+
+  Renders reorder pixels into tile blocks (utils/render.py), so window
+  calibration for eval/extract probes the same ordering: the view's rays
+  permuted into tiles, truncated to a whole number of blocks capped at
+  batch_size rays.
+  """
+  from samplenerfro_tpu.ops import eikonal_tiled
+  h, w = rays.origins.shape[:2]
+  perm, _ = eikonal_tiled.tile_order(h, w, tile_size)
+  flat = jax.tree_util.tree_map(
+      lambda x: np.asarray(x).reshape(h * w, -1)[perm], rays)
+  block = tile_size**2
+  nprobe = min(batch_size, (h * w // block) * block)
+  return [{"rays": jax.tree_util.tree_map(lambda x: x[:nprobe], flat)}]
+
+
+def maybe_autocalibrate(model, variables, flags, probe_batches):
+  """Resolve --march_window=0 to a measured window; returns (model, window).
+
+  No-op (returns the model unchanged and the configured window) unless the
+  marcher is windowed and the window is 0.
+  """
+  if flags.march_mode not in ("tiled", "pallas") or flags.march_window != 0:
+    return model, flags.march_window
+  probe_model = model.clone(march_window=16)
+  window, oow_by_window = calibrate_march_window(probe_model, variables,
+                                                 probe_batches)
+  print(f"march window auto-calibration: {oow_by_window} -> {window}")
+  return model.clone(march_window=window), window
+
+
 def calibrate_march_window(model, variables, batches,
                            candidates=(8, 10, 12, 16, 20, 24),
                            annealed_alpha=1.0):

@@ -80,23 +80,10 @@ def main(unused_argv):
       probe_batches = [next(dataset) for _ in range(4)]
     else:
       # Probe with tile-reordered rays from a validation view.
-      from samplenerfro_tpu.ops import eikonal_tiled
-      val_case = val_dataset.peek()
-      vr = val_case["rays"]
-      h_, w_ = vr.origins.shape[:2]
-      perm, _ = eikonal_tiled.tile_order(h_, w_, FLAGS.tile_size)
-      flat = jax.tree_util.tree_map(
-          lambda x: np.asarray(x).reshape(h_ * w_, -1)[perm], vr)
-      block = FLAGS.tile_size**2
-      nprobe = min(FLAGS.batch_size, (h_ * w_ // block) * block)
-      probe_batches = [
-          {"rays": jax.tree_util.tree_map(lambda x: x[:nprobe], flat)}]
-    probe_model = model.clone(march_window=16)
-    window, oow_by_window = calibrate.calibrate_march_window(
-        probe_model, variables, probe_batches)
-    print(f"march window auto-calibration: {oow_by_window} -> {window}")
-    FLAGS.march_window = window
-    model = model.clone(march_window=window)
+      probe_batches = calibrate.probe_batches_from_view(
+          val_dataset.peek()["rays"], FLAGS.tile_size, FLAGS.batch_size)
+    model, FLAGS.march_window = calibrate.maybe_autocalibrate(
+        model, variables, FLAGS, probe_batches)
   render_tile = FLAGS.tile_size if FLAGS.march_mode in ("tiled",
                                                         "pallas") else 0
   train_model = model
