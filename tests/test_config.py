@@ -64,7 +64,8 @@ def test_all_scene_configs_parse():
   import yaml
   repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
   cfg_dir = os.path.join(repo, "configs")
-  names = {os.path.splitext(f)[0] for f in os.listdir(cfg_dir)}
+  names = {os.path.splitext(f)[0] for f in os.listdir(cfg_dir)
+           if os.path.isfile(os.path.join(cfg_dir, f))}
   assert len(names) == 9
   for name in names:
     with open(os.path.join(cfg_dir, name + ".yaml")) as f:
@@ -76,6 +77,32 @@ def test_all_scene_configs_parse():
     assert b["VoxMLP.interp_method"] == "linear3"
     cfg = config_lib.Config.from_gin(b)
     assert cfg.kernel_size >= 0
+
+
+def test_tpu_scene_configs_parse():
+  """Each generated TPU variant keeps the scene values + TPU overrides."""
+  import yaml
+  repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+  cfg_dir = os.path.join(repo, "configs")
+  tpu_dir = os.path.join(cfg_dir, "tpu")
+  names = sorted(os.path.splitext(f)[0] for f in os.listdir(tpu_dir)
+                 if f.endswith(".yaml"))
+  assert len(names) == 9
+  for name in names:
+    with open(os.path.join(tpu_dir, name + ".yaml")) as f:
+      y = yaml.load(f, Loader=yaml.FullLoader)
+    with open(os.path.join(cfg_dir, name + ".yaml")) as f:
+      base = yaml.load(f, Loader=yaml.FullLoader)
+    assert y["batching"] == "tile"
+    assert y["march_mode"] == "pallas"
+    assert y["march_window"] == 0
+    assert y["mlp_dtype"] == "bfloat16"
+    for key, val in base.items():
+      if key not in ("batching",):
+        assert y[key] == val, (name, key)
+    b = gin_lite.parse_files_and_bindings(
+        [os.path.join(tpu_dir, name + ".gin")])
+    assert b["VoxMLP.interp_method"] == "linear3"
 
 
 def test_refractive_rescale_rule():
