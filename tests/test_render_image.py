@@ -57,3 +57,29 @@ def test_render_image_pads_ragged_chunks(tmp_path):
       example["rays"], random.PRNGKey(1), False, chunk=48, tile=4)
   assert out[0].shape == (10, 10, 3)
   assert np.all(np.isfinite(np.array(out[0])))
+
+
+def test_render_fn_forces_fp32_mlps(tmp_path):
+  """make_render_fn renders bf16-configured models with fp32 MLPs."""
+  data_dir = fixtures.make_scene(str(tmp_path / "scene"), res=16)
+  args = helpers.tiny_args(data_dir=data_dir, factor=0, white_bkgd=False,
+                           chunk=64, num_coarse_samples=4,
+                           num_fine_samples=8, num_path_samples=2)
+  ds = datasets.Blender("val", args)
+  example = ds.peek()
+  ndim, nmin, nmax, grid = helpers.make_grid()
+  model, variables = construct_nerf(
+      random.PRNGKey(0), {"rays": example["rays"]}, args,
+      ndim, nmin, nmax, grid)
+  grid_vars = {"grid": variables["grid"]}
+  bf16_model = model.clone(mlp_dtype="bfloat16")
+
+  rays = jax.tree_util.tree_map(
+      lambda x: np.asarray(x).reshape(-1, x.shape[-1])[:64], example["rays"])
+  key = random.PRNGKey(2)
+  out_fp32 = step_lib.make_render_fn(model, args, grid_vars)(
+      variables["params"], key, key, rays)
+  out_bf16cfg = step_lib.make_render_fn(bf16_model, args, grid_vars)(
+      variables["params"], key, key, rays)
+  for a, b in zip(out_fp32, out_bf16cfg):
+    np.testing.assert_array_equal(np.array(a), np.array(b))
