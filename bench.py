@@ -47,7 +47,7 @@ from samplenerfro_tpu.train import step as step_lib
 REFERENCE_3090_RAYS_PER_SEC = 3000.0
 # This framework's reference-parity iid/scan config measured on one v5e
 # (BENCH_MARCH_MODE=scan BENCH_GRID_N=128; re-measure after marcher changes).
-PARITY_SCAN_TPU_RAYS_PER_SEC = 16008.0
+PARITY_SCAN_TPU_RAYS_PER_SEC = 16335.0
 
 BATCH = 1024
 GRID_N = int(__import__("os").environ.get("BENCH_GRID_N", "128"))

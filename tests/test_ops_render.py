@@ -160,3 +160,30 @@ def test_add_gaussian_noise_gating():
   assert np.allclose(np.array(render_ops.add_gaussian_noise(key, x, 1.0, False)), 0)
   noisy = np.array(render_ops.add_gaussian_noise(key, x, 1.0, True))
   assert np.std(noisy) > 0.1
+
+
+def test_reanchor_two_level_matches_gather():
+  """The MXU two-level re-anchor is bit-exact vs flat search + gather."""
+  import numpy as np
+  rng = np.random.RandomState(3)
+  B, S, M = 8, 50, 23  # S=50 not a multiple of the bucket -> exercises pad
+  path_dist = jnp.asarray(np.sort(rng.rand(B, S) * 5, axis=-1) + 2)
+  path_pos = jnp.asarray(rng.randn(B, S, 3), jnp.float32)
+  path_dir = jnp.asarray(rng.randn(B, S, 3), jnp.float32)
+  path_grad = jnp.asarray(rng.randn(B, S, 3), jnp.float32)
+  # Samples spanning below/inside/above the path range, plus exact ties.
+  z = np.sort(rng.rand(B, M) * 9, axis=-1).astype(np.float32)
+  z[:, 0] = 0.5              # below every vertex
+  z[:, -1] = 50.0            # above every vertex
+  z[:, 5] = np.asarray(path_dist)[:, 7]  # exact tie with a vertex
+  z = jnp.asarray(z)
+
+  for bucket in (4, 8, 16, 64):
+    out_two = render_ops.reanchor_on_path(z, path_pos, path_dir, path_dist,
+                                          path_grad, method="two_level",
+                                          bucket=bucket)
+    out_ref = render_ops.reanchor_on_path(z, path_pos, path_dir, path_dist,
+                                          path_grad, method="gather")
+    for name, a, b in zip(("pos", "dir", "grad"), out_two, out_ref):
+      np.testing.assert_array_equal(np.array(a), np.array(b),
+                                    err_msg=f"{name} bucket={bucket}")
