@@ -148,8 +148,10 @@ def main():
   # fp32 (it is the reference-parity configuration).
   mlp_dtype = os.environ.get(
       "BENCH_MLP_DTYPE", "float32" if march_mode == "scan" else "bfloat16")
+  mlp_remat = os.environ.get("BENCH_MLP_REMAT", "0") == "1"
   args = ship_args(march_mode=march_mode, tile_size=16, march_window=window,
-                   march_refetch=8, mlp_dtype=mlp_dtype)
+                   march_refetch=8, mlp_dtype=mlp_dtype,
+                   mlp_remat=mlp_remat)
   grid = blob_grid(GRID_N)
   batch = make_inputs(BATCH, tiled=(march_mode in ("tiled", "pallas")))
 

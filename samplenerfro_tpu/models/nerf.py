@@ -88,11 +88,17 @@ class NerfModel(nn.Module):
   march_refetch: int = 8
   # Radiance-MLP compute dtype ("float32" | "bfloat16"); params stay fp32.
   mlp_dtype: str = "float32"
+  mlp_remat: bool = False
 
   def setup(self):
     compute_dtype = jnp.bfloat16 if self.mlp_dtype == "bfloat16" \
         else jnp.float32
-    mk_nerf_mlp = lambda: mlp_modules.NerfMLP(
+    # Rematerialized MLPs recompute activations in the backward pass
+    # instead of storing ~200 MB/layer of [batch*samples, width] to HBM;
+    # the recompute FLOPs are cheap next to the saved bandwidth.
+    mlp_cls = (nn.remat(mlp_modules.NerfMLP) if self.mlp_remat
+               else mlp_modules.NerfMLP)
+    mk_nerf_mlp = lambda: mlp_cls(
         net_depth=self.net_depth,
         net_width=self.net_width,
         net_depth_condition=self.net_depth_condition,
@@ -483,6 +489,7 @@ def construct_nerf(key, example_batch, args, ndim, nmin, nmax, grid,
       ps_unroll=int(getattr(args, "scan_unroll", 8)),
       march_mode=str(getattr(args, "march_mode", "scan")),
       mlp_dtype=str(getattr(args, "mlp_dtype", "float32")),
+      mlp_remat=bool(getattr(args, "mlp_remat", False)),
       tile_block=int(getattr(args, "tile_size", 16))**2,
       march_window=int(getattr(args, "march_window", 16)),
       march_refetch=int(getattr(args, "march_refetch", 8)),

@@ -210,6 +210,10 @@ def define_flags():
                     "radiance-MLP compute dtype (params stay fp32); "
                     "bfloat16 is an opt-in fast path, quality-gate it on "
                     "your scene (scripts/validate_quality.py).")
+  flags.DEFINE_bool("mlp_remat", False,
+                    "rematerialize radiance-MLP activations in the "
+                    "backward pass (recompute instead of ~200 MB/layer "
+                    "of HBM activation traffic); numerically identical.")
   flags.DEFINE_enum("march_oow_action", "fallback",
                     ["warn", "fail", "fallback"],
                     "what to do when the tiled marcher reports out-of-window "

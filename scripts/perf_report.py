@@ -41,12 +41,40 @@ def _sync(x):
 
 
 def timeit(fn, *args, iters=10):
+  """Per-call wall-clock loop; includes remote-dispatch overhead.
+
+  Only used for the full train step, whose state-chained calls pipeline
+  their dispatch (same methodology as bench.py). Stage timings use
+  scan_timeit — per-call timing of sub-ms programs through the remote
+  tunnel is dispatch-bound and overstates them severalfold.
+  """
   out = fn(*args)
   _sync(out)
   t0 = time.perf_counter()
   for _ in range(iters):
     out = fn(*args)
   _sync(out)
+  return (time.perf_counter() - t0) / iters
+
+
+def scan_timeit(body, init, iters=50):
+  """Time `body` (carry -> carry) inside ONE jitted lax.scan.
+
+  The carry must thread a data dependency through every iteration so XLA
+  cannot elide or overlap the bodies; dispatch overhead amortizes across
+  the whole scan (CLAUDE.md: only trust loops inside one jitted call on
+  the tunneled TPU).
+  """
+  import jax.numpy as jnp  # noqa: PLC0415
+
+  f = jax.jit(lambda x: jax.lax.scan(lambda c, _: (body(c), None), x, None,
+                                     length=iters)[0])
+  out = f(init)
+  jax.block_until_ready(out)
+  t0 = time.perf_counter()
+  out = f(init)
+  jax.block_until_ready(out)
+  del jnp
   return (time.perf_counter() - t0) / iters
 
 
@@ -92,35 +120,45 @@ def main():
   dbatch = mesh_lib.put_batch(batch, mesh)
   keys = random.PRNGKey(1)
 
-  # --- stage functions ----------------------------------------------------
-  @jax.jit
-  def march_only(params, grid, rays):
-    v = {"params": params, **grid}
-    return model.apply(v, rays.origins, rays.viewdirs,
-                       jnp.float32(0.5),
-                       method=lambda m, o, d, a: m.path_sampler(o, d, a))
-
-  @jax.jit
-  def full_forward(params, grid, key0, key1, rays):
-    v = {"params": params, **grid}
-    ret, _ = model.apply(v, key0, key1, rays, True, jnp.float32(0.5))
-    return ret[-1][0]
-
+  # --- stage timings (scan-based: dispatch-free) --------------------------
   rays = dbatch["rays"]
   k0, k1 = random.split(keys)
+  params, gv = state.params, grid_vars
 
-  t_march = timeit(march_only, state.params, grid_vars, rays,
-                   iters=args_cli.iters)
-  t_fwd = timeit(full_forward, state.params, grid_vars, k0, k1, rays,
-                 iters=args_cli.iters)
+  def march_body(o):
+    v = {"params": params, **gv}
+    pos, dirs, dist, n, g = model.apply(
+        v, o, rays.viewdirs, jnp.float32(0.5),
+        method=lambda m, oo, d, a: m.path_sampler(oo, d, a))
+    return o + 1e-12 * pos[:, 0] + 1e-12 * dist[:, :1]
 
-  def run_step(keys, state):
-    return tstep(keys, state, dbatch)
+  t_march = scan_timeit(march_body, rays.origins)
 
-  t_step = timeit(run_step, keys, state, iters=args_cli.iters)
+  def fwd_body(o):
+    v = {"params": params, **gv}
+    r = rays._replace(origins=o)
+    ret, _ = model.apply(v, k0, k1, r, True, jnp.float32(0.5))
+    return o + 1e-12 * ret[-1][0]
 
-  # Coarse/fine MLP cost proxies: jitted standalone MLP applies at the
-  # step's true shapes (1024x64 coarse, 1024x192 fine; PE 63 + viewdir 27).
+  t_fwd = scan_timeit(fwd_body, rays.origins)
+
+  # Full train step: python loop with state chained through every call —
+  # dispatch pipelines exactly as in training / bench.py.
+  def time_step_chained(iters):
+    s, k = state, keys
+    for _ in range(3):
+      s, _, k = tstep(k, s, dbatch)
+    jax.block_until_ready(s.params)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+      s, _, k = tstep(k, s, dbatch)
+    jax.block_until_ready(s.params)
+    return (time.perf_counter() - t0) / iters
+
+  t_step = time_step_chained(max(args_cli.iters, 20))
+
+  # Coarse/fine MLP cost proxies at the step's true shapes
+  # (1024x64 coarse, 1024x192 fine; PE 63 + viewdir 27).
   coarse_in = jnp.zeros((1024, 64, 63), jnp.float32)
   fine_in = jnp.zeros((1024, 192, 63), jnp.float32)
   vdir = jnp.zeros((1024, 64, 27), jnp.float32)
@@ -131,28 +169,30 @@ def main():
       dtype=jnp.bfloat16 if args_cli.mlp_dtype == "bfloat16"
       else jnp.float32)
 
-  @jax.jit
-  def coarse_mlp(p, x, c):
-    return nerf_mlp.apply({"params": p}, x, c)
+  def mlp_body_for(cond):
+    def body(x):
+      raw_rgb, raw_sigma = nerf_mlp.apply({"params": cparams}, x, cond)
+      return x + 1e-12 * raw_rgb[..., :1] + 1e-12 * raw_sigma
+    return body
 
-  t_coarse = timeit(coarse_mlp, cparams, coarse_in, vdir, iters=args_cli.iters)
-  t_fine = timeit(coarse_mlp, cparams, fine_in, vdir_f, iters=args_cli.iters)
+  t_coarse = scan_timeit(mlp_body_for(vdir), coarse_in)
+  t_fine = scan_timeit(mlp_body_for(vdir_f), fine_in)
 
   # Hierarchical resample at step shape.
   rngk = random.PRNGKey(9)
-  bins = jnp.sort(jax.random.uniform(rngk, (1024, 63)) * 4 + 2, axis=-1)
+  bins0 = jnp.sort(jax.random.uniform(rngk, (1024, 63)) * 4 + 2, axis=-1)
   weights = jax.random.uniform(rngk, (1024, 62))
   pdist = jnp.cumsum(jax.random.uniform(rngk, (1024, 768)) * 0.01, -1) + 2
   ppos = jax.random.normal(rngk, (1024, 768, 3))
   jitter = jnp.arange(0, 768, 12)
 
-  @jax.jit
-  def resample(key, bins, weights, ppos, pdist):
-    return render_ops.sample_pdf(key, bins, weights, ppos, ppos, pdist,
-                                 ppos, 128, True, jitter, 2.0)
+  def resample_body(bins):
+    z, pos, dirs, grads = render_ops.sample_pdf(
+        rngk, bins, weights, ppos, ppos, pdist, ppos, 128, True, jitter, 2.0)
+    return bins + 0.0 * z[:, :63] + 1e-12 * (pos[:, :63, 0] + dirs[:, :63, 1]
+                                             + grads[:, :63, 2])
 
-  t_resample = timeit(resample, rngk, bins, weights, ppos, pdist,
-                      iters=args_cli.iters)
+  t_resample = scan_timeit(resample_body, bins0)
 
   # cost_analysis via freshly jitted loss/grad (make_train_step returns a
   # closure; lowering access needs the jit object).

@@ -208,3 +208,36 @@ def test_bfloat16_mlp_path():
   assert np.all(np.isfinite(rgb16))
   # bf16 matmuls: ~1e-2 agreement is expected and sufficient.
   assert np.max(np.abs(rgb16 - rgb32)) < 5e-2
+
+
+def test_mlp_remat_identical_forward_and_grads():
+  """nn.remat MLPs: same param tree, same outputs, same gradients."""
+  from samplenerfro_tpu.models import construct_nerf
+  from jax import random
+  args = helpers.tiny_args()
+  ndim, nmin, nmax, grid = helpers.make_blob_grid()
+  rays = helpers.make_rays(batch=16)
+  model, variables = construct_nerf(
+      random.PRNGKey(0), {"rays": rays}, args, ndim, nmin, nmax, grid)
+  args_r = helpers.tiny_args(mlp_remat=True)
+  model_r, variables_r = construct_nerf(
+      random.PRNGKey(0), {"rays": rays}, args_r, ndim, nmin, nmax, grid)
+  assert (jax.tree_util.tree_structure(variables["params"])
+          == jax.tree_util.tree_structure(variables_r["params"]))
+
+  k0, k1 = random.PRNGKey(1), random.PRNGKey(2)
+
+  def loss(m):
+    def fn(params):
+      ret, _ = m.apply({"params": params,
+                        "grid": variables["grid"]}, k0, k1, rays, False, 0.7)
+      return jnp.sum(ret[-1][0] ** 2)
+    return fn
+
+  l0, g0 = jax.value_and_grad(loss(model))(variables["params"])
+  l1, g1 = jax.value_and_grad(loss(model_r))(variables["params"])
+  np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+  jax.tree_util.tree_map(
+      lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                              atol=1e-6),
+      g0["coarse_mlp"], g1["coarse_mlp"])
