@@ -149,9 +149,12 @@ def main():
   mlp_dtype = os.environ.get(
       "BENCH_MLP_DTYPE", "float32" if march_mode == "scan" else "bfloat16")
   mlp_remat = os.environ.get("BENCH_MLP_REMAT", "0") == "1"
+  # Measured on v5e: the fused Pallas MLP loses to XLA's Dense stack at
+  # these shapes (STATUS.md round-2 notes), so xla stays the default.
+  mlp_kernel = os.environ.get("BENCH_MLP_KERNEL", "xla")
   args = ship_args(march_mode=march_mode, tile_size=16, march_window=window,
                    march_refetch=8, mlp_dtype=mlp_dtype,
-                   mlp_remat=mlp_remat)
+                   mlp_remat=mlp_remat, mlp_kernel=mlp_kernel)
   grid = blob_grid(GRID_N)
   batch = make_inputs(BATCH, tiled=(march_mode in ("tiled", "pallas")))
 
@@ -221,6 +224,7 @@ def main():
           rays_per_sec / PARITY_SCAN_TPU_RAYS_PER_SEC, 3),
       "march_mode": march_mode,
       "mlp_dtype": mlp_dtype,
+      "mlp_kernel": mlp_kernel,
       "grid_n": GRID_N,
   }))
 

@@ -24,6 +24,7 @@ from jax import random
 
 from samplenerfro_tpu.models import mlp as mlp_modules
 from samplenerfro_tpu.models import path_sampler as ps_module
+from samplenerfro_tpu.ops.pallas import mlp_kernel as pallas_mlp
 from samplenerfro_tpu.ops import grid as grid_ops
 from samplenerfro_tpu.ops import math as math_ops
 from samplenerfro_tpu.ops import mip as mip_ops
@@ -89,6 +90,7 @@ class NerfModel(nn.Module):
   # Radiance-MLP compute dtype ("float32" | "bfloat16"); params stay fp32.
   mlp_dtype: str = "float32"
   mlp_remat: bool = False
+  mlp_kernel: str = "xla"
 
   def setup(self):
     compute_dtype = jnp.bfloat16 if self.mlp_dtype == "bfloat16" \
@@ -247,6 +249,20 @@ class NerfModel(nn.Module):
     # the far side, models.py:503).
     return (jnp.cumsum(mask[:, ::-1], axis=-1) > 0.0)[:, ::-1]
 
+  def _use_fused_mlp(self, samples_enc, viewdirs_enc):
+    """Whether _decode should take the fused Pallas MLP path."""
+    return (self.mlp_kernel == "pallas"
+            and not self.is_initializing()
+            and self.use_viewdirs
+            and self.sh_deg < 0
+            and not self.stage.startswith("all")
+            and jax.default_backend() == "tpu"
+            and pallas_mlp.supports(
+                samples_enc.shape[-1], viewdirs_enc.shape[-1],
+                self.net_depth, self.net_width, self.skip_layer,
+                self.net_depth_condition, self.net_width_condition,
+                self.num_rgb_channels, self.num_sigma_channels))
+
   def _featurize(self, pos, dirs, dists, radii):
     """Point features: classic PE or (use_ipe) mip cone-Gaussian IPE."""
     if self.use_ipe:
@@ -260,7 +276,25 @@ class NerfModel(nn.Module):
 
   def _decode(self, mlp, samples_enc, viewdirs_enc, dirs, key, randomized):
     """MLP eval + noise + SH decode + activations -> (rgb, sigma)."""
-    if self.use_viewdirs:
+    if self._use_fused_mlp(samples_enc, viewdirs_enc):
+      # Fused Pallas MLP: weights resident in VMEM, activations tiled —
+      # no inter-layer HBM traffic (ops/pallas/mlp_kernel.py). Gradients
+      # flow to the MLP params only; valid because radiance-stage
+      # features come from the frozen path sampler ('all' falls back).
+      p = mlp.variables["params"]
+      nb, ns, fdim = samples_enc.shape
+      rgb, sigma = pallas_mlp.fused_nerf_mlp(
+          p, samples_enc.reshape(-1, fdim),
+          viewdirs_enc.reshape(-1, viewdirs_enc.shape[-1]),
+          net_depth=self.net_depth, net_width=self.net_width,
+          skip_layer=self.skip_layer,
+          cond_width=self.net_width_condition,
+          num_rgb=self.num_rgb_channels,
+          num_sigma=self.num_sigma_channels,
+          dtype=self.mlp_dtype)
+      raw_rgb = rgb.reshape(nb, ns, -1)
+      raw_sigma = sigma.reshape(nb, ns, -1)
+    elif self.use_viewdirs:
       raw_rgb, raw_sigma = mlp(samples_enc, viewdirs_enc)
     else:
       raw_rgb, raw_sigma = mlp(samples_enc)
@@ -490,6 +524,7 @@ def construct_nerf(key, example_batch, args, ndim, nmin, nmax, grid,
       march_mode=str(getattr(args, "march_mode", "scan")),
       mlp_dtype=str(getattr(args, "mlp_dtype", "float32")),
       mlp_remat=bool(getattr(args, "mlp_remat", False)),
+      mlp_kernel=str(getattr(args, "mlp_kernel", "xla")),
       tile_block=int(getattr(args, "tile_size", 16))**2,
       march_window=int(getattr(args, "march_window", 16)),
       march_refetch=int(getattr(args, "march_refetch", 8)),

@@ -1,0 +1,446 @@
+"""Pallas TPU kernel: fused NerfMLP forward/backward (opt-in, experimental).
+
+Hypothesis: the radiance MLPs round-trip a [batch*samples, 256] activation
+through HBM per layer (~100 MB bf16 at ship scale), so keeping ALL weights
+(~1 MB bf16) resident in VMEM and tiling the rows — a [blockM, feat] tile
+runs through the whole trunk + heads with no intermediate touching HBM —
+should beat the XLA Dense stack.
+
+MEASURED RESULT on one v5e (scan-timed, ship fine-MLP shapes, bf16):
+XLA fwd 2.80 ms / fwd+bwd 6.65 ms vs this kernel's 3.95 / 9.73 ms — XLA
+wins; its layer-by-layer schedule already sustains ~37% MXU with the
+activation traffic overlapped, and the kernel pays lane-padding FLOPs
+(63->128 features) plus a full forward recompute in the backward. Kept as
+an opt-in (`--mlp_kernel=pallas`) and as groundwork for deeper fusion
+(featurization-in-kernel); `xla` is the production default.
+
+Forward: one grid step per row tile; emits [N, 8] packed (rgb0..2, sigma).
+Backward: recomputes the tile's activations in VMEM (cheap next to the
+saved bandwidth) and accumulates dW/db into fp32 VMEM output blocks that
+every grid step revisits (constant index_map — the canonical Mosaic
+accumulation pattern). Input cotangents are NOT produced (returned as
+zeros): the radiance stage's features are functions of the frozen path
+sampler only, so no gradient path through x/cond exists. Callers gate on
+that (models/nerf.py uses the XLA MLP for the 'all' stage, whose march is
+differentiated).
+
+Architecture parity: models/mlp.py:NerfMLP (JaxNeRF trunk — 8x256 ReLU,
+skip concat after layer skip_layer, sigma head off the trunk, bottleneck +
+viewdir-conditioned 128-wide RGB head; reference rnerf/model_utils.py:
+30-90). The sigma head and bottleneck are fused into one [W, 128+W]
+matmul (lane-padded head). Math: fp32 MXU accumulation per layer, bias +
+ReLU in fp32, activations stored in the compute dtype — bf16 mode matches
+the XLA bf16 Dense stack to ~1e-2 (same data format, slightly different
+rounding points), fp32 mode to ~1e-6.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pad_to(x, rows=None, cols=None):
+  r = x.shape[0] if rows is None else rows
+  c = x.shape[1] if cols is None else cols
+  return jnp.zeros((r, c), x.dtype).at[:x.shape[0], :x.shape[1]].set(x)
+
+
+def _rup(x, m):
+  return -(-x // m) * m
+
+
+class _Spec:
+  """Static geometry of the fused MLP (hashable kernel-config key)."""
+
+  def __init__(self, feature_dim, cond_dim, net_depth, net_width,
+               skip_layer, cond_width, num_rgb, num_sigma):
+    self.feature_dim = feature_dim
+    self.cond_dim = cond_dim
+    self.depth = net_depth
+    self.width = net_width
+    self.skip = skip_layer
+    self.cond_width = cond_width
+    self.num_rgb = num_rgb
+    self.num_sigma = num_sigma
+    self.fp = _rup(feature_dim, 128)          # padded feature lanes
+    self.cp = _rup(cond_dim, 128)             # padded condition lanes
+    self.head = 128 + net_width               # sigma(128-pad) + bottleneck
+    # Layers whose OUTPUT gets the skip concat appended.
+    self.skip_after = tuple(i for i in range(net_depth)
+                            if i % skip_layer == 0 and i > 0)
+    # Per-layer input widths.
+    self.in_dims = []
+    for i in range(net_depth):
+      if i == 0:
+        self.in_dims.append(self.fp)
+      elif (i - 1) in self.skip_after:
+        self.in_dims.append(net_width + self.fp)
+      else:
+        self.in_dims.append(net_width)
+
+  def key(self):
+    return (self.feature_dim, self.cond_dim, self.depth, self.width,
+            self.skip, self.cond_width, self.num_rgb, self.num_sigma)
+
+
+def supports(feature_dim, cond_dim, net_depth, net_width, skip_layer,
+             net_depth_condition, cond_width, num_rgb, num_sigma):
+  """Whether the fused kernel implements this NerfMLP configuration."""
+  return (net_depth_condition == 1
+          and net_width % 128 == 0 and cond_width % 128 == 0
+          and num_rgb <= 8 - num_sigma and num_sigma >= 1
+          and feature_dim <= 128 and cond_dim <= 128
+          and net_depth >= 2
+          # The heads must see an unaugmented trunk output (true for the
+          # shipped depth-8/skip-4 config; a skip right before the heads
+          # would change the sigma/bottleneck input width).
+          and (net_depth - 1) % skip_layer != 0)
+
+
+def _pack_params(params, spec, dtype):
+  """Flax NerfMLP param tree -> padded kernel operand list.
+
+  Order: W0..W{D-1}, Wsb, Wc, Wrgb, b0..b{D-1}, bsb, bc, brgb.
+  Dense numbering in the flax module: 0..D-1 trunk, D sigma, D+1
+  bottleneck, D+2 condition layer, D+3 rgb.
+  """
+  d = spec.depth
+  ws, bs = [], []
+  for i in range(d):
+    k = params[f"Dense_{i}"]["kernel"].astype(dtype)
+    ws.append(_pad_to(k, rows=spec.in_dims[i]))
+    bs.append(params[f"Dense_{i}"]["bias"].astype(jnp.float32)[None, :])
+  w_sig = params[f"Dense_{d}"]["kernel"].astype(dtype)      # [W, 1]
+  b_sig = params[f"Dense_{d}"]["bias"].astype(jnp.float32)
+  w_bn = params[f"Dense_{d+1}"]["kernel"].astype(dtype)     # [W, W]
+  b_bn = params[f"Dense_{d+1}"]["bias"].astype(jnp.float32)
+  wsb = jnp.concatenate([_pad_to(w_sig, cols=128), w_bn], axis=1)
+  bsb = jnp.concatenate(
+      [jnp.zeros((128,), jnp.float32).at[:spec.num_sigma].set(b_sig), b_bn]
+  )[None, :]
+  w_c = params[f"Dense_{d+2}"]["kernel"].astype(dtype)      # [W+cond, 128]
+  wc = jnp.concatenate(
+      [w_c[:spec.width], _pad_to(w_c[spec.width:], rows=spec.cp)], axis=0)
+  bc = params[f"Dense_{d+2}"]["bias"].astype(jnp.float32)[None, :]
+  w_rgb = params[f"Dense_{d+3}"]["kernel"].astype(dtype)    # [128, 3]
+  wrgb = _pad_to(w_rgb, cols=128)
+  brgb = _pad_to(
+      params[f"Dense_{d+3}"]["bias"].astype(jnp.float32)[None, :],
+      cols=128)
+  return ws + [wsb, wc, wrgb] + bs + [bsb, bc, brgb]
+
+
+def _dot(a, b):
+  return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+
+def _dot_t_lhs(a, b):
+  """a^T @ b contracting the row (tile) dimension: [K,M]x[K,N] -> [M,N]."""
+  return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+
+def _dot_t_rhs(a, b):
+  """a @ b^T contracting lanes: [M,K]x[N,K] -> [M,N]."""
+  return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+
+def _forward_tile(spec, dtype, x0, cond, ws, bs, wsb, bsb, wc, bc, wrgb,
+                  brgb):
+  """Run the whole MLP on one [M, fp] tile; returns (acts, aug, heads,
+  a_c, rgbfull) — everything the backward needs."""
+  acts = []   # post-ReLU layer outputs, [M, W] each
+  augs = []   # layer INPUTS (with skip concat), [M, in_dims[i]]
+  h = x0
+  for i in range(spec.depth):
+    augs.append(h)
+    pre = _dot(h, ws[i]) + bs[i]
+    a = jnp.maximum(pre, 0.0).astype(dtype)
+    acts.append(a)
+    h = a
+    if i in spec.skip_after:
+      h = jnp.concatenate([a, x0], axis=1)
+  heads = _dot(h, wsb) + bsb                      # [M, 128+W] fp32
+  bn = heads[:, 128:].astype(dtype)               # bottleneck (no ReLU)
+  xcat = jnp.concatenate([bn, cond], axis=1)      # [M, W+cp]
+  pre_c = _dot(xcat, wc) + bc
+  a_c = jnp.maximum(pre_c, 0.0).astype(dtype)     # [M, 128]
+  rgbfull = _dot(a_c, wrgb) + brgb                # [M, 128] fp32
+  return acts, augs, heads, xcat, a_c, rgbfull
+
+
+def _fwd_kernel(spec, dtype, *refs):
+  d = spec.depth
+  x0_ref, cond_ref = refs[0], refs[1]
+  ws = [refs[2 + i][...] for i in range(d)]
+  wsb, wc, wrgb = refs[2 + d][...], refs[3 + d][...], refs[4 + d][...]
+  bs = [refs[5 + d + i][...] for i in range(d)]
+  bsb, bc, brgb = refs[5 + 2 * d][...], refs[6 + 2 * d][...], \
+      refs[7 + 2 * d][...]
+  out_ref = refs[8 + 2 * d]
+
+  x0 = x0_ref[...].astype(dtype)
+  cond = cond_ref[...].astype(dtype)
+  _, _, heads, _, _, rgbfull = _forward_tile(
+      spec, dtype, x0, cond, ws, bs, wsb, bsb, wc, bc, wrgb, brgb)
+  m = x0.shape[0]
+  packed = jnp.concatenate(
+      [rgbfull[:, :spec.num_rgb], heads[:, :spec.num_sigma],
+       jnp.zeros((m, 8 - spec.num_rgb - spec.num_sigma), jnp.float32)],
+      axis=1)
+  out_ref[...] = packed
+
+
+def _bwd_kernel(spec, dtype, *refs):
+  d = spec.depth
+  k = pl.program_id(0)
+  x0_ref, cond_ref, dout_ref = refs[0], refs[1], refs[2]
+  ws = [refs[3 + i][...] for i in range(d)]
+  wsb, wc, wrgb = refs[3 + d][...], refs[4 + d][...], refs[5 + d][...]
+  bs = [refs[6 + d + i][...] for i in range(d)]
+  bsb, bc, brgb = refs[6 + 2 * d][...], refs[7 + 2 * d][...], \
+      refs[8 + 2 * d][...]
+  outs = refs[9 + 2 * d:]
+  dw_refs = outs[:d + 3]
+  db_refs = outs[d + 3:]
+
+  x0 = x0_ref[...].astype(dtype)
+  cond = cond_ref[...].astype(dtype)
+  dout = dout_ref[...]
+  acts, augs, heads, xcat, a_c, _ = _forward_tile(
+      spec, dtype, x0, cond, ws, bs, wsb, bsb, wc, bc, wrgb, brgb)
+
+  m = x0.shape[0]
+  drgbfull = jnp.concatenate(
+      [dout[:, :spec.num_rgb],
+       jnp.zeros((m, 128 - spec.num_rgb), jnp.float32)], axis=1)
+  dheads_sig = jnp.concatenate(
+      [dout[:, spec.num_rgb:spec.num_rgb + spec.num_sigma],
+       jnp.zeros((m, 128 - spec.num_sigma), jnp.float32)], axis=1)
+
+  contribs_w = [None] * (d + 3)
+  contribs_b = [None] * (d + 3)
+
+  # RGB head.
+  drgb16 = drgbfull.astype(dtype)
+  contribs_w[d + 2] = _dot_t_lhs(a_c, drgb16)
+  contribs_b[d + 2] = jnp.sum(drgbfull, axis=0, keepdims=True)
+  # ReLU masks compare in fp32 (Mosaic rejects bf16 cmpf on v5e).
+  da_c = _dot_t_rhs(drgb16, wrgb) * (a_c.astype(jnp.float32) > 0)
+  da_c16 = da_c.astype(dtype)
+  # Condition layer.
+  contribs_w[d + 1] = _dot_t_lhs(xcat, da_c16)
+  contribs_b[d + 1] = jnp.sum(da_c, axis=0, keepdims=True)
+  dxcat = _dot_t_rhs(da_c16, wc)                   # [M, W+cp]
+  # Heads (sigma col 0..num_sigma + bottleneck cols 128..).
+  dheads = jnp.concatenate(
+      [dheads_sig, dxcat[:, :spec.width]], axis=1)  # [M, 128+W]
+  h_last = augs[-1] if spec.depth - 1 not in spec.skip_after else None
+  h_in = (jnp.concatenate([acts[-1], x0], axis=1)
+          if (spec.depth - 1) in spec.skip_after else acts[-1])
+  del h_last
+  dheads16 = dheads.astype(dtype)
+  contribs_w[d] = _dot_t_lhs(h_in, dheads16)
+  contribs_b[d] = jnp.sum(dheads, axis=0, keepdims=True)
+  dh = _dot_t_rhs(dheads16, wsb)                   # [M, in_dims of heads]
+  if (spec.depth - 1) in spec.skip_after:
+    dh = dh[:, :spec.width]
+
+  # Trunk, reversed.
+  for i in range(d - 1, -1, -1):
+    dpre = dh * (acts[i].astype(jnp.float32) > 0)
+    dpre16 = dpre.astype(dtype)
+    contribs_w[i] = _dot_t_lhs(augs[i], dpre16)
+    contribs_b[i] = jnp.sum(dpre, axis=0, keepdims=True)
+    if i > 0:
+      dh = _dot_t_rhs(dpre16, ws[i])
+      if (i - 1) in spec.skip_after:
+        dh = dh[:, :spec.width]
+
+  @pl.when(k == 0)
+  def _init():
+    for r, c in zip(dw_refs, contribs_w):
+      r[...] = c
+    for r, c in zip(db_refs, contribs_b):
+      r[...] = c
+
+  @pl.when(k != 0)
+  def _acc():
+    for r, c in zip(dw_refs, contribs_w):
+      r[...] += c
+    for r, c in zip(db_refs, contribs_b):
+      r[...] += c
+
+
+def _weight_specs(n):
+  return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n)]
+
+
+@functools.partial(jax.jit, static_argnames=("spec_key", "dtype_name",
+                                             "block_m", "interpret"))
+def _fwd_impl(spec_key, dtype_name, block_m, interpret, x0p, condp,
+              *packed):
+  spec = _Spec(*spec_key)
+  dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+  n = x0p.shape[0]
+  grid = n // block_m
+  in_specs = [
+      pl.BlockSpec((block_m, spec.fp), lambda i: (i, 0),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((block_m, spec.cp), lambda i: (i, 0),
+                   memory_space=pltpu.VMEM),
+  ] + _weight_specs(len(packed))
+  out = pl.pallas_call(
+      functools.partial(_fwd_kernel, spec, dtype),
+      interpret=interpret,
+      grid=(grid,),
+      in_specs=in_specs,
+      out_specs=pl.BlockSpec((block_m, 8), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((n, 8), jnp.float32),
+  )(x0p, condp, *packed)
+  return out
+
+
+@functools.partial(jax.jit, static_argnames=("spec_key", "dtype_name",
+                                             "block_m", "interpret"))
+def _bwd_impl(spec_key, dtype_name, block_m, interpret, x0p, condp, dout,
+              *packed):
+  spec = _Spec(*spec_key)
+  dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+  d = spec.depth
+  n = x0p.shape[0]
+  grid = n // block_m
+  in_specs = [
+      pl.BlockSpec((block_m, spec.fp), lambda i: (i, 0),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((block_m, spec.cp), lambda i: (i, 0),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((block_m, 8), lambda i: (i, 0),
+                   memory_space=pltpu.VMEM),
+  ] + _weight_specs(len(packed))
+
+  w_shapes = ([(spec.in_dims[i], spec.width) for i in range(d)]
+              + [(spec.width, spec.head),
+                 (spec.width + spec.cp, spec.cond_width),
+                 (spec.cond_width, 128)])
+  b_shapes = ([(1, spec.width)] * d
+              + [(1, spec.head), (1, spec.cond_width), (1, 128)])
+  accum_spec = pl.BlockSpec(lambda i: tuple([0, 0]),
+                            memory_space=pltpu.VMEM)
+  out_specs = [pl.BlockSpec(s, lambda i: (0, 0), memory_space=pltpu.VMEM)
+               for s in w_shapes + b_shapes]
+  del accum_spec
+  out_shapes = [jax.ShapeDtypeStruct(s, jnp.float32)
+                for s in w_shapes + b_shapes]
+  outs = pl.pallas_call(
+      functools.partial(_bwd_kernel, spec, dtype),
+      interpret=interpret,
+      grid=(grid,),
+      in_specs=in_specs,
+      out_specs=out_specs,
+      out_shape=out_shapes,
+  )(x0p, condp, dout, *packed)
+  return outs
+
+
+def _prep_inputs(spec, x, cond, block_m):
+  n = x.shape[0]
+  npad = _rup(n, block_m)
+  x0p = jnp.zeros((npad, spec.fp), x.dtype).at[:n, :x.shape[1]].set(x)
+  condp = jnp.zeros((npad, spec.cp),
+                    cond.dtype).at[:n, :cond.shape[1]].set(cond)
+  return x0p, condp, n, npad
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused(spec_key, dtype_name, block_m, interpret):
+  """Build the custom-vjp fused MLP for one static configuration."""
+  spec = _Spec(*spec_key)
+  d = spec.depth
+
+  @jax.custom_vjp
+  def fused(params, x, cond):
+    return _fwd_only(params, x, cond)
+
+  def _fwd_only(params, x, cond):
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    packed = _pack_params(params, spec, dtype)
+    x0p, condp, n, _ = _prep_inputs(spec, x, cond, block_m)
+    out = _fwd_impl(spec_key, dtype_name, block_m, interpret, x0p, condp,
+                    *packed)
+    rgb = out[:n, :spec.num_rgb]
+    sigma = out[:n, spec.num_rgb:spec.num_rgb + spec.num_sigma]
+    return rgb, sigma
+
+  def fwd(params, x, cond):
+    return _fwd_only(params, x, cond), (params, x, cond)
+
+  def bwd(res, cts):
+    params, x, cond = res
+    drgb, dsigma = cts
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    packed = _pack_params(params, spec, dtype)
+    x0p, condp, n, npad = _prep_inputs(spec, x, cond, block_m)
+    dout = jnp.zeros((npad, 8), jnp.float32)
+    dout = dout.at[:n, :spec.num_rgb].set(drgb)
+    dout = dout.at[:n, spec.num_rgb:spec.num_rgb + spec.num_sigma].set(
+        dsigma)
+    outs = _bwd_impl(spec_key, dtype_name, block_m, interpret, x0p, condp,
+                     dout, *packed)
+    dws, dbs = outs[:d + 3], outs[d + 3:]
+    dparams = {}
+    for i in range(d):
+      dparams[f"Dense_{i}"] = {
+          "kernel": dws[i][:spec.in_dims[i], :][
+              :params[f"Dense_{i}"]["kernel"].shape[0]],
+          "bias": dbs[i][0],
+      }
+    dwsb, dbsb = dws[d], dbs[d]
+    dparams[f"Dense_{d}"] = {          # sigma head
+        "kernel": dwsb[:, :spec.num_sigma],
+        "bias": dbsb[0, :spec.num_sigma],
+    }
+    dparams[f"Dense_{d+1}"] = {        # bottleneck
+        "kernel": dwsb[:, 128:],
+        "bias": dbsb[0, 128:],
+    }
+    dwc = dws[d + 1]
+    w_c_shape = params[f"Dense_{d+2}"]["kernel"].shape
+    dparams[f"Dense_{d+2}"] = {        # condition layer
+        "kernel": jnp.concatenate(
+            [dwc[:spec.width],
+             dwc[spec.width:spec.width + (w_c_shape[0] - spec.width)]],
+            axis=0),
+        "bias": dbs[d + 1][0],
+    }
+    dparams[f"Dense_{d+3}"] = {        # rgb head
+        "kernel": dws[d + 2][:, :spec.num_rgb],
+        "bias": dbs[d + 2][0, :spec.num_rgb],
+    }
+    # No input cotangents: callers guarantee x/cond carry no gradient
+    # (radiance-stage features come from the frozen path sampler).
+    return dparams, jnp.zeros_like(x), jnp.zeros_like(cond)
+
+  fused.defvjp(fwd, bwd)
+  return fused
+
+
+def fused_nerf_mlp(params, x, cond, *, net_depth=8, net_width=256,
+                   skip_layer=4, cond_width=128, num_rgb=3, num_sigma=1,
+                   dtype="bfloat16", block_m=512, interpret=False):
+  """Fused NerfMLP apply: (params, [N, F], [N, C]) -> (rgb [N,3], sigma).
+
+  params is the flax NerfMLP param subtree (Dense_0..Dense_{depth+3}).
+  Differentiable in params only (see module docstring).
+  """
+  spec_key = (x.shape[-1], cond.shape[-1], net_depth, net_width,
+              skip_layer, cond_width, num_rgb, num_sigma)
+  fn = _make_fused(spec_key, dtype, block_m, interpret)
+  return fn(params, x, cond)

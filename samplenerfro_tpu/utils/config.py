@@ -210,6 +210,11 @@ def define_flags():
                     "radiance-MLP compute dtype (params stay fp32); "
                     "bfloat16 is an opt-in fast path, quality-gate it on "
                     "your scene (scripts/validate_quality.py).")
+  flags.DEFINE_enum("mlp_kernel", "xla", ["xla", "pallas"],
+                    "radiance-MLP execution: XLA Dense stack, or the "
+                    "fused Pallas kernel (weights VMEM-resident, no "
+                    "inter-layer HBM traffic; TPU-only, 'all' stage and "
+                    "SH decoding fall back to xla).")
   flags.DEFINE_bool("mlp_remat", False,
                     "rematerialize radiance-MLP activations in the "
                     "backward pass (recompute instead of ~200 MB/layer "
