@@ -31,6 +31,7 @@ import numpy as np
 
 from samplenerfro_tpu.ops import eikonal as eik_ops
 from samplenerfro_tpu.ops import eikonal_tiled as eik_tiled
+from samplenerfro_tpu.ops import eikonal_vjp
 from samplenerfro_tpu.ops import grid as grid_ops
 from samplenerfro_tpu.ops import math as math_ops
 from samplenerfro_tpu.ops import mlp as fmlp
@@ -171,6 +172,27 @@ class PathSampler(nn.Module):
         return self._apply_head(raw, g)
     else:
       pred_grad_fn = None
+
+    if (use_pred and self.march_mode in ("tiled", "pallas")
+        and origins.shape[0] % self.tile_block == 0
+        and self.march_window > 0):
+      # "all"-stage windowed march with the ANALYTIC reverse sweep
+      # (ops/eikonal_vjp.py): forward runs the fused Pallas kernel when
+      # supported (tiled otherwise); backward replays the stored path —
+      # no autodiff rematerialization of the 768-step chain.
+      march = eikonal_vjp.make_march_allstage(
+          self.spec, self.near, self.step_size, self.num_samples,
+          self.tile_block, self.march_window, self.march_refetch,
+          (self.min_deg_point, self.max_deg_point, self.annealed,
+           self.use_residual, self.use_direct_output, self.normalized),
+          self.march_mode)
+      pos, dirs, dist, n, g, oow = march(
+          self.grid3d.value, origins, directions,
+          jnp.asarray(annealed_alpha, jnp.float32), so3_params)
+      self.sow("diagnostics", "march_oow", oow,
+               init_fn=lambda: jnp.int32(0),
+               reduce_fn=lambda a, b: a + b)
+      return pos, dirs, jax.lax.stop_gradient(dist), n, g
 
     # The fused kernel implements only the shipped so3 branch (annealed
     # PE from degree 0, Rodrigues residual head).

@@ -47,9 +47,53 @@ def _axis_weights(rel0, frac, window):
           + jnp.where(iota == rel0 + 1, frac, 0.0))
 
 
+def _axis_dweights(rel0, window):
+  """d(_axis_weights)/d(frac): -1 at rel0, +1 at rel0+1, else 0."""
+  iota = jnp.arange(window, dtype=jnp.int32)
+  shape = rel0.shape + (window,)
+  rel0 = rel0[..., None]
+  iota = jnp.broadcast_to(iota, shape)
+  return (jnp.where(iota == rel0, -1.0, 0.0)
+          + jnp.where(iota == rel0 + 1, 1.0, 0.0))
+
+
+def make_cells_of(spec, n, dtype=jnp.float32):
+  """(rp [.., 3]) -> (cell int32, frac) with the marcher's exact clipping."""
+  nmin = jnp.asarray(spec.nmin, dtype=dtype)
+  ndelta = jnp.asarray(spec.ndelta, dtype=dtype)
+
+  def cells_of(rp):
+    c = jnp.clip((rp - nmin) / ndelta, 0.0, n - 1.0)
+    cell = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, n - 2)
+    return cell, c - cell.astype(c.dtype)
+
+  return cells_of
+
+
+def make_slice_window(grid3d, grid4d, n, w):
+  """Per-block [W, W, W, 4] window slicer (vmapped over block origins)."""
+  if grid4d is not None:
+    return jax.vmap(
+        lambda s: jax.lax.dynamic_slice(grid4d, (s[0], s[1], s[2], 0),
+                                        (w, w, w, 4)))
+  return jax.vmap(
+      lambda s: jax.lax.dynamic_slice(grid3d, (s[0], s[1], s[2] * 4),
+                                      (w, w, w * 4)).reshape(w, w, w, 4))
+
+
+def window_origin(cells_of, rp, rd, refetch_every, step_size, w, n):
+  """Shared-window origin from current cells + straight-line-predicted."""
+  cell, _ = cells_of(rp)
+  pred_cell, _ = cells_of(rp + refetch_every * step_size * rd)
+  cmin = jnp.minimum(jnp.min(cell, axis=1), jnp.min(pred_cell, axis=1))
+  cmax = jnp.maximum(jnp.max(cell, axis=1), jnp.max(pred_cell, axis=1))
+  center = (cmin + cmax + 1) // 2
+  return jnp.clip(center - w // 2, 0, n - w)
+
+
 def march_tiled(spec, data, origins, directions, near, step_size, num_samples,
                 block_size=256, window=8, refetch_every=8, unroll=2,
-                pred_grad_fn=None, use_pred_grad=False):
+                pred_grad_fn=None, use_pred_grad=False, normalize_dirs=True):
   """March eikonal paths for spatially-coherent ray blocks.
 
   Args:
@@ -95,26 +139,13 @@ def march_tiled(spec, data, origins, directions, near, step_size, num_samples,
   # large ones (w=16: 27.5 vs 20.4 ms), where a single up-front relayout to
   # [n, n, n, 4] plus aligned 4D slicing wins despite its ~6 ms cost.
   grid4d = grid3d.reshape(n, n, n, 4) if w >= 12 else None
-  nmin = jnp.asarray(spec.nmin, dtype=origins.dtype)
-  ndelta = jnp.asarray(spec.ndelta, dtype=origins.dtype)
 
   init_pos = (origins + near * directions).reshape(nb, block_size, 3)
   init_dir = directions.reshape(nb, block_size, 3)
   init_dist = jnp.full((nb, block_size), near, dtype=origins.dtype)
 
-  def cells_of(rp):
-    c = jnp.clip((rp - nmin) / ndelta, 0.0, n - 1.0)
-    cell = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, n - 2)
-    return cell, c - cell.astype(c.dtype)
-
-  if grid4d is not None:
-    slice_window = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(grid4d, (s[0], s[1], s[2], 0),
-                                        (w, w, w, 4)))
-  else:
-    slice_window = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(grid3d, (s[0], s[1], s[2] * 4),
-                                        (w, w, w * 4)).reshape(w, w, w, 4))
+  cells_of = make_cells_of(spec, n, origins.dtype)
+  slice_window = make_slice_window(grid3d, grid4d, n, w)
 
   def inner_step(carry, _):
     rp, rd, rt, oow, worigin, bricks = carry
@@ -153,12 +184,7 @@ def march_tiled(spec, data, origins, directions, near, step_size, num_samples,
     # Refresh the shared window from the bounding box of the current cells
     # AND the straight-line-predicted cells one reuse-period ahead, so the
     # drift over the reuse window stays inside the margin.
-    cell, _ = cells_of(rp)
-    pred_cell, _ = cells_of(rp + refetch_every * step_size * rd)
-    cmin = jnp.minimum(jnp.min(cell, axis=1), jnp.min(pred_cell, axis=1))
-    cmax = jnp.maximum(jnp.max(cell, axis=1), jnp.max(pred_cell, axis=1))
-    center = (cmin + cmax + 1) // 2
-    worigin = jnp.clip(center - w // 2, 0, n - w)
+    worigin = window_origin(cells_of, rp, rd, refetch_every, step_size, w, n)
     bricks = slice_window(worigin)
     (rp, rd, rt, oow, _, _), outs = jax.lax.scan(
         inner_step, (rp, rd, rt, oow, worigin, bricks), None,
@@ -175,7 +201,8 @@ def march_tiled(spec, data, origins, directions, near, step_size, num_samples,
     a = jnp.moveaxis(a, 0, 2)  # [nb, R, S, ...]
     return a.reshape((batch,) + a.shape[2:])
 
-  return (unblock(pos), unblock(math_ops.safe_l2_normalize(dirs)),
+  dirs_out = math_ops.safe_l2_normalize(dirs) if normalize_dirs else dirs
+  return (unblock(pos), unblock(dirs_out),
           unblock(dist), unblock(nvals), unblock(g), oow)
 
 

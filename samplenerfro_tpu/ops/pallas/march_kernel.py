@@ -343,10 +343,11 @@ def _march_kernel(refs, *, n, w, yext, block_size, nb, refetch, near,
     jax.jit,
     static_argnames=("spec", "num_samples", "near", "step_size",
                      "block_size", "window", "refetch_every", "max_deg",
-                     "unroll", "interpret"))
+                     "unroll", "interpret", "normalize_dirs"))
 def _march_pallas_impl(spec, data, origins, directions, near, step_size,
                        num_samples, so3_inputs, block_size, window,
-                       refetch_every, max_deg, unroll, interpret):
+                       refetch_every, max_deg, unroll, interpret,
+                       normalize_dirs=True):
   n = spec.ndim[0]
   w = window
   yext = w + 8
@@ -430,7 +431,9 @@ def _march_pallas_impl(spec, data, origins, directions, near, step_size,
   # [nb, S, 11, R] -> per-ray arrays [batch, S, ...].
   out = jnp.transpose(out, (0, 3, 1, 2)).reshape(batch, num_samples, 11)
   pos = out[..., 0:3]
-  dirs = math_ops.safe_l2_normalize(out[..., 3:6])
+  dirs = out[..., 3:6]
+  if normalize_dirs:
+    dirs = math_ops.safe_l2_normalize(dirs)
   dist = out[..., 6]
   nvals = out[..., 7:8]
   g = out[..., 8:11]
@@ -440,7 +443,8 @@ def _march_pallas_impl(spec, data, origins, directions, near, step_size,
 def march_tiled_pallas(spec, data, origins, directions, near, step_size,
                        num_samples, block_size=256, window=8,
                        refetch_every=8, so3_params=None, annealed_alpha=1.0,
-                       max_deg=10, unroll=1, interpret=False):
+                       max_deg=10, unroll=1, interpret=False,
+                       normalize_dirs=True):
   """Fused-kernel twin of eikonal_tiled.march_tiled (same returns).
 
   Args match march_tiled; instead of a pred_grad_fn closure, the "all"-stage
@@ -473,7 +477,7 @@ def march_tiled_pallas(spec, data, origins, directions, near, step_size,
     return _march_pallas_impl(
         spec, data, origins, directions, near, step_size, num_samples,
         so3_inputs, block_size, window, refetch_every, max_deg, unroll,
-        interpret)
+        interpret, normalize_dirs=normalize_dirs)
 
   parts = []
   oow_total = jnp.int32(0)
@@ -483,7 +487,8 @@ def march_tiled_pallas(spec, data, origins, directions, near, step_size,
     pos, dirs, dist, nvals, g, oow = _march_pallas_impl(
         spec, data, origins[start:end], directions[start:end], near,
         step_size, num_samples, so3_inputs, block_size, window,
-        refetch_every, max_deg, unroll, interpret)
+        refetch_every, max_deg, unroll, interpret,
+        normalize_dirs=normalize_dirs)
     parts.append((pos, dirs, dist, nvals, g))
     oow_total = oow_total + oow
   stacked = [jnp.concatenate(cols, axis=0) for cols in zip(*parts)]

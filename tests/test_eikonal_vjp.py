@@ -1,0 +1,132 @@
+"""Analytic all-stage march VJP vs jax autodiff of the tiled marcher."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import random
+
+from samplenerfro_tpu.ops import eikonal_tiled as eikt
+from samplenerfro_tpu.ops import eikonal_vjp
+from samplenerfro_tpu.ops import grid as grid_ops
+from samplenerfro_tpu.ops import mlp as fmlp
+
+SO3_KEY = (0, 6, True, True, True, False)  # shipped VoxMLP branch
+
+
+def _setup(n=64, nrays=32, block=16, S=32, refetch=4, window=16):
+  spec = grid_ops.GridSpec([n] * 3, [-1.5] * 3, [1.5] * 3)
+  axes = np.linspace(-1.5, 1.5, n)
+  xx, yy, zz = np.meshgrid(axes, axes, axes, indexing="ij")
+  vals = (1.0 + 0.3 * np.exp(-(xx**2 + yy**2 + zz**2) / 0.25)).reshape(-1, 1)
+  values = jnp.asarray(vals, jnp.float32)
+  grad = grid_ops.central_difference_grad(spec, values)
+  data3d = jnp.concatenate([values, grad], axis=-1).reshape(n, n, n * 4)
+
+  d = np.array([[0.002 * (i % 4), 0.001 * (i // 4), 1.0]
+                for i in range(nrays)], np.float32)
+  d /= np.linalg.norm(d, axis=-1, keepdims=True)
+  o = np.broadcast_to(np.array([0, 0, -4.0], np.float32), d.shape).copy()
+  # Two blocks at different window origins.
+  o[block:] += np.array([0.7, -0.4, 0.0], np.float32)
+
+  in_dim = 2 * 3 * (SO3_KEY[1] - SO3_KEY[0])
+  so3 = fmlp.mlp_init(random.PRNGKey(7), in_dim, net_depth=4, net_width=32,
+                      skip_layer=2, num_out_channels=3,
+                      output_init_std=1e-2)
+  near, h = 2.0, 4.0 / (S - 1)
+  cfg = dict(near=near, step_size=h, num_samples=S, block_size=block,
+             window=window, refetch_every=refetch)
+  return spec, data3d, jnp.asarray(o), jnp.asarray(d), so3, cfg
+
+
+def _autodiff_march(spec, cfg, data3d, o, d, alpha, so3):
+  so3_apply = eikonal_vjp.make_so3_apply(*SO3_KEY)
+  pred = lambda rp, g: so3_apply(so3, alpha, rp, g)
+  pos, dirs, dist, nv, g, oow = eikt.march_tiled(
+      spec, data3d, o, d, cfg["near"], cfg["step_size"],
+      cfg["num_samples"], block_size=cfg["block_size"],
+      window=cfg["window"], refetch_every=cfg["refetch_every"],
+      pred_grad_fn=pred, use_pred_grad=True)
+  return pos, dirs, dist, nv, g, oow
+
+
+def _loss_of(outs, weights):
+  pos, dirs, dist, nv, g, _ = outs
+  wp, wd, wt, wn, wg = weights
+  return (jnp.sum(jnp.sin(pos) * wp) + jnp.sum(dirs * wd)
+          + jnp.sum(dist * wt) + jnp.sum(nv * wn) + jnp.sum(g * wg))
+
+
+def test_allstage_march_vjp_matches_autodiff():
+  spec, data3d, o, d, so3, cfg = _setup()
+  march = eikonal_vjp.make_march_allstage(
+      spec, cfg["near"], cfg["step_size"], cfg["num_samples"],
+      cfg["block_size"], cfg["window"], cfg["refetch_every"],
+      SO3_KEY, "tiled")
+  alpha = jnp.float32(0.6)
+  rng = np.random.RandomState(0)
+  S = cfg["num_samples"]
+  nrays = o.shape[0]
+  weights = (jnp.asarray(rng.randn(nrays, S, 3), jnp.float32),
+             jnp.asarray(rng.randn(nrays, S, 3), jnp.float32),
+             jnp.asarray(rng.randn(nrays, S), jnp.float32),
+             jnp.asarray(rng.randn(nrays, S, 1), jnp.float32),
+             jnp.asarray(rng.randn(nrays, S, 3), jnp.float32))
+
+  # Forward agreement first.
+  out_ref = _autodiff_march(spec, cfg, data3d, o, d, alpha, so3)
+  out_new = march(data3d, o, d, alpha, so3)
+  assert int(out_ref[5]) == 0, "window violations in the test setup"
+  for name, a, b in zip(("pos", "dirs", "dist", "n", "g"),
+                        out_ref[:5], out_new[:5]):
+    np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-6,
+                               err_msg=name)
+
+  def loss_ref(o_, d_, al_, th_):
+    return _loss_of(_autodiff_march(spec, cfg, data3d, o_, d_, al_, th_),
+                    weights)
+
+  def loss_new(o_, d_, al_, th_):
+    return _loss_of(march(data3d, o_, d_, al_, th_), weights)
+
+  val_ref, grads_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3))(
+      o, d, alpha, so3)
+  val_new, grads_new = jax.value_and_grad(loss_new, argnums=(0, 1, 2, 3))(
+      o, d, alpha, so3)
+  np.testing.assert_allclose(float(val_ref), float(val_new), rtol=1e-6)
+
+  names = ("origins", "directions", "alpha", "so3")
+  for name, gr, gn in zip(names, grads_ref, grads_new):
+    ref_leaves = jax.tree_util.tree_leaves_with_path(gr)
+    new_leaves = dict(jax.tree_util.tree_leaves_with_path(gn))
+    for path, leaf in ref_leaves:
+      got = new_leaves[path]
+      scale = np.maximum(np.abs(np.asarray(leaf)).max(), 1e-3)
+      np.testing.assert_allclose(
+          np.asarray(got), np.asarray(leaf), atol=2e-4 * scale, rtol=2e-3,
+          err_msg=f"{name}{jax.tree_util.keystr(path)}")
+
+
+def test_allstage_march_vjp_zero_cotangent_paths():
+  """dist-only and n-only losses exercise the seg / interp-only adjoints."""
+  spec, data3d, o, d, so3, cfg = _setup(nrays=16, block=16)
+  march = eikonal_vjp.make_march_allstage(
+      spec, cfg["near"], cfg["step_size"], cfg["num_samples"],
+      cfg["block_size"], cfg["window"], cfg["refetch_every"],
+      SO3_KEY, "tiled")
+  alpha = jnp.float32(0.4)
+
+  for sel in (2, 3):  # dist, nvals
+    def loss_ref(th):
+      outs = _autodiff_march(spec, cfg, data3d, o, d, alpha, th)
+      return jnp.sum(outs[sel] ** 2)
+
+    def loss_new(th):
+      return jnp.sum(march(data3d, o, d, alpha, th)[sel] ** 2)
+
+    g_ref = jax.grad(loss_ref)(so3)
+    g_new = jax.grad(loss_new)(so3)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-3),
+        g_ref, g_new)

@@ -87,14 +87,11 @@ def main(unused_argv):
   render_tile = FLAGS.tile_size if FLAGS.march_mode in ("tiled",
                                                         "pallas") else 0
   train_model = model
-  if FLAGS.march_mode in ("tiled", "pallas"):
-    if FLAGS.batching != "tile":
-      train_model = model.clone(march_mode="scan")
-    elif FLAGS.march_mode == "pallas" and FLAGS.stage.startswith("all"):
-      # The fused kernel is forward-only; the "all" stage differentiates
-      # the march through the so3 head, so train on the XLA tiled marcher
-      # (rendering keeps the fused kernel).
-      train_model = model.clone(march_mode="tiled")
+  if FLAGS.march_mode in ("tiled", "pallas") and FLAGS.batching != "tile":
+    train_model = model.clone(march_mode="scan")
+  # ("all"-stage training keeps the windowed marchers: the analytic
+  # reverse sweep in ops/eikonal_vjp.py supplies the march gradients, so
+  # the fused Pallas forward is usable in every stage.)
 
   if FLAGS.stage.startswith("ior"):
     dataset = datasets.Grid("train", FLAGS, grid, ndim, nmax, nmin)
