@@ -152,9 +152,13 @@ def main():
   # Measured on v5e: the fused Pallas MLP loses to XLA's Dense stack at
   # these shapes (STATUS.md round-2 notes), so xla stays the default.
   mlp_kernel = os.environ.get("BENCH_MLP_KERNEL", "xla")
+  # BENCH_STAGE=all measures the joint-refinement stage (differentiable
+  # march via the analytic reverse sweep, ops/eikonal_vjp.py).
+  stage = ("all_bench" if os.environ.get("BENCH_STAGE") == "all"
+           else "radiance_bench")
   args = ship_args(march_mode=march_mode, tile_size=16, march_window=window,
                    march_refetch=8, mlp_dtype=mlp_dtype,
-                   mlp_remat=mlp_remat, mlp_kernel=mlp_kernel)
+                   mlp_remat=mlp_remat, mlp_kernel=mlp_kernel, stage=stage)
   grid = blob_grid(GRID_N)
   batch = make_inputs(BATCH, tiled=(march_mode in ("tiled", "pallas")))
 
@@ -225,6 +229,7 @@ def main():
       "march_mode": march_mode,
       "mlp_dtype": mlp_dtype,
       "mlp_kernel": mlp_kernel,
+      "stage": args.stage,
       "grid_n": GRID_N,
   }))
 
