@@ -65,10 +65,10 @@ class PathSampler(nn.Module):
   # (pixel tiles) and interpolates from per-block grid windows (all stages,
   # including the "all"-stage so3 refinement); "pallas" runs the fused
   # Mosaic kernel (ops/pallas/march_kernel.py) when the configuration
-  # supports it, falling back to "tiled" otherwise. The pallas kernel is
-  # forward-only: training stages that differentiate the march ("all",
-  # via the so3 head) must use "tiled" — train.py clones the train model
-  # accordingly; eval/render keeps the fused kernel in every stage.
+  # supports it, falling back to "tiled" otherwise. The "all" stage
+  # differentiates the march: its gradients come from the analytic
+  # reverse sweep (ops/eikonal_vjp.py), so the fused forward is usable in
+  # every stage.
   march_mode: str = "scan"
   tile_block: int = 256
   march_window: int = 16

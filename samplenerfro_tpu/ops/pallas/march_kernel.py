@@ -452,8 +452,10 @@ def march_tiled_pallas(spec, data, origins, directions, near, step_size,
   Dense_0..3 + Dense_out) plus `annealed_alpha`/`max_deg` — the kernel
   evaluates PE + MLP + Rodrigues inline per step.
 
-  Forward-only: gradients do not flow through the kernel (training stages
-  that differentiate the march — "all"/"ior" — use the XLA marchers).
+  Forward-only: gradients do not flow through the kernel itself
+  (inputs are stop-gradient'd). Differentiated marches ("all"-stage
+  training) wrap this forward with the analytic reverse sweep in
+  ops/eikonal_vjp.py.
   """
   so3_inputs = None
   if so3_params is not None:
