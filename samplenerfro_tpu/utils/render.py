@@ -6,6 +6,8 @@ padded to a device multiple, device_put with the ray axis sharded over the
 mesh, rendered by the jitted render_fn, and fetched; XLA handles the gather.
 """
 
+import collections
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -16,7 +18,7 @@ from samplenerfro_tpu.parallel import mesh as mesh_lib
 
 
 def render_image(render_fn, rays, rng, normalize_disp, chunk=8192, mesh=None,
-                 tile=0):
+                 tile=0, pipeline_depth=8):
   """Render all pixels of an image in chunks.
 
   Args:
@@ -30,6 +32,11 @@ def render_image(render_fn, rays, rng, normalize_disp, chunk=8192, mesh=None,
     tile: if > 0, permute pixels into tile x tile blocks before chunking
       (feeds the tile-coherent marcher; a pure execution-order change —
       outputs are un-permuted). chunk should be a multiple of tile^2.
+    pipeline_depth: chunks kept in flight before fetching results. JAX
+      dispatch is asynchronous, so enqueueing chunk k+1 before the
+      device_get of chunk k overlaps H2D/compute/D2H across chunks (the
+      reference renders chunks strictly synchronously, utils.py:331-389;
+      a depth-1 pipeline pays the full dispatch latency per chunk).
 
   Returns:
     (rgb [h, w, 3], distance [h, w, 1], acc [h, w, 1]) numpy arrays.
@@ -50,6 +57,17 @@ def render_image(render_fn, rays, rng, normalize_disp, chunk=8192, mesh=None,
   if tile > 0:
     pad_multiple = int(np.lcm(n_devices, tile * tile))
   results = []
+  pending = collections.deque()
+
+  def drain_one():
+    nonlocal total_oow
+    rgb, distance, acc, oow, padding = pending.popleft()
+    rgb, distance, acc, oow = jax.device_get((rgb, distance, acc, oow))
+    total_oow += int(oow)
+    if padding:
+      rgb, distance, acc = rgb[:-padding], distance[:-padding], acc[:-padding]
+    results.append((rgb, distance, acc))
+
   for i in range(0, num_rays, chunk):
     chunk_rays = namedtuple_map(lambda r: r[i:i + chunk], rays)
     chunk_size = chunk_rays[0].shape[0]
@@ -69,11 +87,11 @@ def render_image(render_fn, rays, rng, normalize_disp, chunk=8192, mesh=None,
     out = render_fn(key_0, key_1, chunk_rays)
     rgb, distance, acc = out[0], out[1], out[2]
     oow = out[5] if len(out) > 5 else 0
-    rgb, distance, acc, oow = jax.device_get((rgb, distance, acc, oow))
-    total_oow += int(oow)
-    if padding:
-      rgb, distance, acc = rgb[:-padding], distance[:-padding], acc[:-padding]
-    results.append((rgb, distance, acc))
+    pending.append((rgb, distance, acc, oow, padding))
+    while len(pending) >= max(1, pipeline_depth):
+      drain_one()
+  while pending:
+    drain_one()
 
   if total_oow > 0:
     print(f"WARNING: tiled marcher clamped {total_oow} out-of-window "
