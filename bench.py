@@ -1,19 +1,36 @@
 """Benchmark: training throughput (rays/sec) at the reference's workload.
 
-Runs the full radiance-stage train step at the ship-scene scale
-(batch 1024 rays, 64 coarse + 128 fine samples, 12 eikonal path samples,
-8x256 MLPs; BENCH_GRID_N sets the IOR grid resolution, default 128^3 —
-the flagship scenes ship 384^3/512^3, benchable with BENCH_GRID_N=512)
-on the available accelerator and prints ONE JSON line:
+Runs the full radiance-stage train step at flagship scene scale and prints
+ONE JSON line:
 
   {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s",
    "vs_baseline": N / REFERENCE_3090_RAYS_PER_SEC, ...}
 
+The HEADLINE value is the flagship ship workload (batch 1024 rays,
+64 coarse + 128 fine samples, 12 eikonal path samples, 8x256 MLPs,
+BENCH_GRID_N^3 IOR grid — default 512, the ship scene's
+voxelize_uni512_highpoly scale). The same JSON line carries companion
+measurements as extra fields (BENCH_FAST=1 skips them):
+
+  grid128_rays_per_sec      the 128^3 workload (round-1/2 continuity)
+  grid384_w24_rays_per_sec  real-scene scale: 384^3 grid, 64x24 march,
+                            window 24 (configs/glass.{yaml,gin})
+  all_stage_rays_per_sec    joint-refinement stage (differentiable march
+                            via the analytic reverse sweep)
+  eval_rays_per_sec         chunked full-image render (the reference's
+                            test_rays_per_sec, train.py:450-454)
+
+Before timing, an on-device correctness gate runs the production Pallas
+kernel against the XLA tiled and reference-parity scan marchers, and the
+analytic all-stage VJP against XLA autodiff (train/selfcheck.py); the JSON
+records "check": "ok". BENCH_CHECK=0 disables. A broken kernel fails the
+bench instead of producing wrong timings.
+
 Measures the framework's production TPU configuration: tile-batched
-training with the fused Pallas marcher at the safe window (16), which is
-quality-validated against iid batching on the synthetic refractive
-benchmark (scripts/validate_quality.py). Set BENCH_MARCH_MODE to
-tiled/scan for the XLA marchers (scan == reference-parity iid batching).
+training with the fused Pallas marcher at the safe window (16) and bf16
+radiance MLPs, quality-validated against iid batching on the synthetic
+refractive benchmark (scripts/validate_quality.py). Set BENCH_MARCH_MODE
+to tiled/scan for the XLA marchers (scan == reference-parity iid batching).
 
 Baseline provenance (both labeled in the JSON):
   - vs_baseline: divides by an RTX-3090 ESTIMATE for the reference code —
@@ -21,11 +38,15 @@ Baseline provenance (both labeled in the JSON):
     JaxNeRF-class trainers with a 768-step eikonal scan per ray run
     ~2-4k rays/s, we use 3000. An estimate, not a measurement.
   - vs_parity_scan_tpu: divides by this framework's own reference-parity
-    iid/scan configuration MEASURED on the same chip (BENCH_MARCH_MODE=scan
-    on one v5e) — an apples-to-apples speedup with full provenance.
+    iid/scan configuration MEASURED on the same chip. The stored constant
+    below was measured with BENCH_MARCH_MODE=scan on one v5e;
+    BENCH_REMEASURE_PARITY=1 re-measures it in-run and stamps the fresh
+    value (and its provenance) into the JSON instead of trusting the
+    literal.
 """
 
 import json
+import os
 import time
 import types
 
@@ -33,6 +54,9 @@ import jax
 import numpy as np
 from flax.training.train_state import TrainState
 from jax import random
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from samplenerfro_tpu.data.rays import Rays
 from samplenerfro_tpu.utils import config as config_lib
@@ -46,11 +70,12 @@ from samplenerfro_tpu.train import step as step_lib
 # numbers exist; this is an order-of-magnitude anchor, labeled as such).
 REFERENCE_3090_RAYS_PER_SEC = 3000.0
 # This framework's reference-parity iid/scan config measured on one v5e
-# (BENCH_MARCH_MODE=scan BENCH_GRID_N=128; re-measure after marcher changes).
+# (BENCH_MARCH_MODE=scan BENCH_GRID_N=128); BENCH_REMEASURE_PARITY=1
+# re-measures instead of trusting this literal.
 PARITY_SCAN_TPU_RAYS_PER_SEC = 16335.0
 
 BATCH = 1024
-GRID_N = int(__import__("os").environ.get("BENCH_GRID_N", "128"))
+GRID_N = int(os.environ.get("BENCH_GRID_N", "512"))
 
 
 def ship_args(**overrides):
@@ -133,16 +158,76 @@ def camera_rays(res=800, fov=0.69):
 
 
 def blob_grid(n):
-  axes = np.linspace(-1.5, 1.5, n)
+  axes = np.linspace(-1.5, 1.5, n, dtype=np.float32)
   xx, yy, zz = np.meshgrid(axes, axes, axes, indexing="ij")
   vals = 1.0 + 0.5 * np.exp(-(xx**2 + yy**2 + zz**2) / 0.25)
   return vals.reshape(-1, 1).astype(np.float32)
 
 
-def main():
-  import os
+_GRID_CACHE = {}
+
+
+def _grid(n):
+  if n not in _GRID_CACHE:
+    _GRID_CACHE[n] = blob_grid(n)
+  return _GRID_CACHE[n]
+
+
+def _build(args, grid_n):
+  grid = _grid(grid_n)
+  batch = make_inputs(
+      BATCH, tiled=(args.march_mode in ("tiled", "pallas")))
+  model, variables = construct_nerf(
+      random.PRNGKey(0), {"rays": batch["rays"]}, args,
+      [grid_n] * 3, [-1.5] * 3, [1.5] * 3, grid)
+  mesh = mesh_lib.make_mesh()
+  grid_vars = {"grid": mesh_lib.replicate(dict(variables["grid"]), mesh)}
+  tx, _, _ = step_lib.create_optimizer(args)
+  state = TrainState.create(apply_fn=model.apply,
+                            params=variables["params"], tx=tx)
+  state = mesh_lib.replicate(state, mesh)
+  return model, state, grid_vars, mesh, batch
+
+
+def measure_train(args, grid_n, n_steps=20):
+  """Rays/s of the full train step for one configuration."""
+  model, state, grid_vars, mesh, batch = _build(args, grid_n)
+  tstep = step_lib.make_train_step(model, args, grid_vars)
+  dbatch = mesh_lib.put_batch(batch, mesh)
+  keys = random.PRNGKey(1)
+  for _ in range(3):
+    state, stats, keys = tstep(keys, state, dbatch)
+  jax.block_until_ready(state.params)
+  t0 = time.perf_counter()
+  for _ in range(n_steps):
+    state, stats, keys = tstep(keys, state, dbatch)
+  jax.block_until_ready(state.params)
+  dt = time.perf_counter() - t0
+  return BATCH * n_steps / dt
+
+
+def measure_eval(args, grid_n, res=800, chunk=8192):
+  """Rays/s of the chunked tile-reordered full-image render."""
+  from samplenerfro_tpu.utils import render as render_lib
+  model, state, grid_vars, mesh, _ = _build(args, grid_n)
+  render_fn = step_lib.make_render_fn(model, args, grid_vars, mesh=mesh)
+  img_rays = camera_rays(res)
+  params = state.params
+  tile = args.tile_size if args.march_mode in ("tiled", "pallas") else 0
+  run = lambda: render_lib.render_image(
+      lambda k0, k1, r: render_fn(params, k0, k1, r), img_rays,
+      random.PRNGKey(2), False, chunk=chunk, mesh=mesh, tile=tile)
+  run()  # warmup/compile
+  t0 = time.perf_counter()
+  run()
+  dt = time.perf_counter() - t0
+  return res * res / dt, dt
+
+
+def production_args(stage="radiance_bench", window=None, **over):
   march_mode = os.environ.get("BENCH_MARCH_MODE", "pallas")
-  window = int(os.environ.get("BENCH_MARCH_WINDOW", "16"))
+  if window is None:
+    window = int(os.environ.get("BENCH_MARCH_WINDOW", "16"))
   # Production default: bf16 radiance MLPs (quality-validated neutral on
   # the synthetic benchmark — STATUS.md "Quality A/B"); scan mode stays
   # fp32 (it is the reference-parity configuration).
@@ -152,85 +237,91 @@ def main():
   # Measured on v5e: the fused Pallas MLP loses to XLA's Dense stack at
   # these shapes (STATUS.md round-2 notes), so xla stays the default.
   mlp_kernel = os.environ.get("BENCH_MLP_KERNEL", "xla")
-  # BENCH_STAGE=all measures the joint-refinement stage (differentiable
-  # march via the analytic reverse sweep, ops/eikonal_vjp.py).
-  stage = ("all_bench" if os.environ.get("BENCH_STAGE") == "all"
-           else "radiance_bench")
-  args = ship_args(march_mode=march_mode, tile_size=16, march_window=window,
-                   march_refetch=8, mlp_dtype=mlp_dtype,
-                   mlp_remat=mlp_remat, mlp_kernel=mlp_kernel, stage=stage)
-  grid = blob_grid(GRID_N)
-  batch = make_inputs(BATCH, tiled=(march_mode in ("tiled", "pallas")))
+  # Production: the all-stage reverse sweep's batched passes run in bf16
+  # (see ops/eikonal_vjp.py); BENCH_MARCH_BWD_DTYPE=float32 for the
+  # autodiff-exact configuration.
+  march_bwd_dtype = os.environ.get("BENCH_MARCH_BWD_DTYPE", "bfloat16")
+  over = {"march_refetch": 8, "march_bwd_dtype": march_bwd_dtype, **over}
+  return ship_args(march_mode=march_mode, tile_size=16, march_window=window,
+                   mlp_dtype=mlp_dtype, mlp_remat=mlp_remat,
+                   mlp_kernel=mlp_kernel, stage=stage, **over)
 
-  model, variables = construct_nerf(
-      random.PRNGKey(0), {"rays": batch["rays"]}, args,
-      [GRID_N] * 3, [-1.5] * 3, [1.5] * 3, grid)
 
-  mesh = mesh_lib.make_mesh()
-  grid_vars = {"grid": mesh_lib.replicate(dict(variables["grid"]), mesh)}
-  tx, _, _ = step_lib.create_optimizer(args)
-  state = TrainState.create(apply_fn=model.apply,
-                            params=variables["params"], tx=tx)
-  state = mesh_lib.replicate(state, mesh)
-  tstep = step_lib.make_train_step(model, args, grid_vars)
+def main():
+  record = {}
 
-  dbatch = mesh_lib.put_batch(batch, mesh)
-  keys = random.PRNGKey(1)
+  if os.environ.get("BENCH_CHECK", "1") != "0":
+    # On-device correctness gate (see module docstring): raises on
+    # disagreement between pallas/tiled/scan forwards or between the
+    # analytic all-stage VJP and XLA autodiff.
+    from samplenerfro_tpu.train import selfcheck
+    deviations = selfcheck.check_march(
+        window=int(os.environ.get("BENCH_MARCH_WINDOW", "16")))
+    record["check"] = "ok"
+    record["check_max_dev"] = round(max(deviations.values()), 8)
+  else:
+    record["check"] = "skipped"
 
   if os.environ.get("BENCH_MODE", "train") == "eval":
-    # Eval-render throughput (the reference's test_rays_per_sec,
-    # train.py:450-454): chunked tile-reordered full-image render.
-    from samplenerfro_tpu.utils import render as render_lib
-    render_fn = step_lib.make_render_fn(model, args, grid_vars, mesh=mesh)
     res = int(os.environ.get("BENCH_EVAL_RES", "800"))
     chunk = int(os.environ.get("BENCH_EVAL_CHUNK", "8192"))
-    img_rays = camera_rays(res)
-    params = state.params
-    render_image = lambda: render_lib.render_image(
-        lambda k0, k1, r: render_fn(params, k0, k1, r), img_rays,
-        random.PRNGKey(2), False, chunk=chunk, mesh=mesh,
-        tile=(args.tile_size if march_mode in ("tiled", "pallas") else 0))
-    render_image()  # warmup/compile
-    t0 = time.perf_counter()
-    render_image()
-    dt = time.perf_counter() - t0
+    args = production_args()
+    rays_per_sec, dt = measure_eval(args, GRID_N, res=res, chunk=chunk)
     print(json.dumps({
         "metric": "test_rays_per_sec",
-        "value": round(res * res / dt, 1),
+        "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": None,
         "baseline_provenance": "reference publishes no eval numbers",
-        "march_mode": march_mode, "grid_n": GRID_N,
-        "secs_per_frame": round(dt, 3), "res": res,
+        "march_mode": args.march_mode, "grid_n": GRID_N,
+        "secs_per_frame": round(dt, 3), "res": res, **record,
     }))
     return
 
-  # Warmup / compile.
-  for _ in range(3):
-    state, stats, keys = tstep(keys, state, dbatch)
-  jax.block_until_ready(state.params)
+  # BENCH_STAGE=all makes the joint-refinement stage the headline
+  # (differentiable march via the analytic reverse sweep).
+  stage = ("all_bench" if os.environ.get("BENCH_STAGE") == "all"
+           else "radiance_bench")
+  args = production_args(stage=stage)
+  value = measure_train(args, GRID_N)
 
-  n_steps = 20
-  t0 = time.perf_counter()
-  for _ in range(n_steps):
-    state, stats, keys = tstep(keys, state, dbatch)
-  jax.block_until_ready(state.params)
-  dt = time.perf_counter() - t0
+  parity = PARITY_SCAN_TPU_RAYS_PER_SEC
+  parity_prov = "stored constant (measured on one v5e; see bench.py)"
+  if os.environ.get("BENCH_REMEASURE_PARITY", "0") == "1":
+    parity = measure_train(
+        ship_args(march_mode="scan", tile_size=16, march_window=16,
+                  march_refetch=8, mlp_dtype="float32", mlp_remat=False,
+                  mlp_kernel="xla", stage="radiance_bench"), 128)
+    parity_prov = "re-measured this run (BENCH_REMEASURE_PARITY=1)"
+    record["parity_scan_tpu_rays_per_sec"] = round(parity, 1)
 
-  rays_per_sec = BATCH * n_steps / dt
+  if os.environ.get("BENCH_FAST", "0") != "1" and stage == "radiance_bench":
+    # Companion measurements for the record (see module docstring).
+    if GRID_N != 128:
+      record["grid128_rays_per_sec"] = round(
+          measure_train(production_args(), 128), 1)
+    record["grid384_w24_rays_per_sec"] = round(
+        measure_train(production_args(window=24, num_path_samples=24,
+                                      march_refetch=8), 384), 1)
+    record["all_stage_rays_per_sec"] = round(
+        measure_train(production_args(stage="all_bench"), GRID_N), 1)
+    record["eval_rays_per_sec"] = round(
+        measure_eval(production_args(), GRID_N)[0], 1)
+
   print(json.dumps({
       "metric": "train_rays_per_sec",
-      "value": round(rays_per_sec, 1),
+      "value": round(value, 1),
       "unit": "rays/s",
-      "vs_baseline": round(rays_per_sec / REFERENCE_3090_RAYS_PER_SEC, 3),
+      "vs_baseline": round(value / REFERENCE_3090_RAYS_PER_SEC, 3),
       "baseline_provenance": "RTX-3090 estimate (no published numbers)",
-      "vs_parity_scan_tpu": round(
-          rays_per_sec / PARITY_SCAN_TPU_RAYS_PER_SEC, 3),
-      "march_mode": march_mode,
-      "mlp_dtype": mlp_dtype,
-      "mlp_kernel": mlp_kernel,
+      "vs_parity_scan_tpu": round(value / parity, 3),
+      "parity_provenance": parity_prov,
+      "march_mode": args.march_mode,
+      "mlp_dtype": args.mlp_dtype,
+      "mlp_kernel": args.mlp_kernel,
       "stage": args.stage,
       "grid_n": GRID_N,
+      **record,
   }))
 
 

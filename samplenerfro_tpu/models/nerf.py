@@ -84,6 +84,7 @@ class NerfModel(nn.Module):
   ps_normal_radius_scale: float = 0.1
   ps_unroll: int = 8
   march_mode: str = "scan"
+  march_bwd_dtype: str = "float32"
   tile_block: int = 256
   march_window: int = 16
   march_refetch: int = 8
@@ -135,6 +136,7 @@ class NerfModel(nn.Module):
         normal_radius_scale=self.ps_normal_radius_scale,
         unroll=self.ps_unroll,
         march_mode=self.march_mode,
+        march_bwd_dtype=self.march_bwd_dtype,
         tile_block=self.tile_block,
         march_window=self.march_window,
         march_refetch=self.march_refetch)
@@ -522,6 +524,7 @@ def construct_nerf(key, example_batch, args, ndim, nmin, nmax, grid,
           g.get("PathSampler.normal_radius_scale", 0.1)),
       ps_unroll=int(getattr(args, "scan_unroll", 8)),
       march_mode=str(getattr(args, "march_mode", "scan")),
+      march_bwd_dtype=str(getattr(args, "march_bwd_dtype", "float32")),
       mlp_dtype=str(getattr(args, "mlp_dtype", "float32")),
       mlp_remat=bool(getattr(args, "mlp_remat", False)),
       mlp_kernel=str(getattr(args, "mlp_kernel", "xla")),

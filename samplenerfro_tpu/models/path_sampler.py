@@ -73,6 +73,11 @@ class PathSampler(nn.Module):
   tile_block: int = 256
   march_window: int = 16
   march_refetch: int = 8
+  # Reverse-sweep Jacobian/param-pass dtype for the differentiable "all"
+  # stage (ops/eikonal_vjp.py): float32 matches autodiff exactly;
+  # bfloat16 is the fast production path (same precision story as the
+  # bf16 radiance MLPs, quality-gate via scripts/validate_quality.py).
+  march_bwd_dtype: str = "float32"
 
   def setup(self):
     if self.interp_method != "linear3":
@@ -185,7 +190,7 @@ class PathSampler(nn.Module):
           self.tile_block, self.march_window, self.march_refetch,
           (self.min_deg_point, self.max_deg_point, self.annealed,
            self.use_residual, self.use_direct_output, self.normalized),
-          self.march_mode)
+          self.march_mode, bwd_dtype=self.march_bwd_dtype)
       pos, dirs, dist, n, g, oow = march(
           self.grid3d.value, origins, directions,
           jnp.asarray(annealed_alpha, jnp.float32), so3_params)

@@ -52,9 +52,9 @@ from samplenerfro_tpu.ops.pallas import march_kernel
 _HI = jax.lax.Precision.HIGHEST
 
 
-def make_so3_apply(min_deg, max_deg, annealed, use_residual,
+def make_so3_parts(min_deg, max_deg, annealed, use_residual,
                    use_direct_output, normalized):
-  """Pure (params, alpha, pos, g) -> refined gradient (so3 head)."""
+  """(embed(x, alpha), head(raw, g)) for one static so3 configuration."""
 
   def embed(x, alpha):
     if annealed:
@@ -74,6 +74,15 @@ def make_so3_apply(min_deg, max_deg, annealed, use_residual,
               * math_ops.safe_l2_normalize(raw))
     raise NotImplementedError()
 
+  return embed, head
+
+
+def make_so3_apply(min_deg, max_deg, annealed, use_residual,
+                   use_direct_output, normalized):
+  """Pure (params, alpha, pos, g) -> refined gradient (so3 head)."""
+  embed, head = make_so3_parts(min_deg, max_deg, annealed, use_residual,
+                               use_direct_output, normalized)
+
   def so3_apply(params, alpha, pos, g):
     return head(fmlp.mlp_apply(params, embed(pos, alpha)), g)
 
@@ -82,7 +91,8 @@ def make_so3_apply(min_deg, max_deg, annealed, use_residual,
 
 @functools.lru_cache(maxsize=None)
 def make_march_allstage(spec, near, step_size, num_samples, block_size,
-                        window, refetch_every, so3_key, fwd_mode):
+                        window, refetch_every, so3_key, fwd_mode,
+                        bwd_dtype="float32"):
   """Build the custom-vjp all-stage marcher for one static configuration.
 
   Args (all static/hashable):
@@ -92,6 +102,13 @@ def make_march_allstage(spec, near, step_size, num_samples, block_size,
     so3_key: (min_deg, max_deg, annealed, use_residual, use_direct_output,
       normalized).
     fwd_mode: "pallas" (fused kernel when supported) or "tiled".
+    bwd_dtype: compute dtype of the reverse sweep's batched Jacobian /
+      parameter-cotangent passes ("float32" | "bfloat16"). The sweep is
+      matmul-rate + HBM-bound on these passes; bfloat16 runs them at the
+      fast MXU path with fp32 accumulation in the sequential recurrence
+      (the same production-precision story as the bf16 radiance MLPs,
+      whose backward is bf16 as well). float32 matches jax autodiff to
+      fp32 round-off and is the default (parity tests, selfcheck gate).
 
   Returns fn(data3d, origins, directions, alpha, so3_params) with the
   march_tiled return signature; differentiable in origins, directions,
@@ -105,6 +122,8 @@ def make_march_allstage(spec, near, step_size, num_samples, block_size,
   min_deg, max_deg, annealed, use_residual, use_direct, normalized = so3_key
   pallas_so3_ok = (min_deg == 0 and annealed and use_residual
                    and use_direct and not normalized)
+  bdt = jnp.dtype(bwd_dtype)
+  exact_bwd = bdt == jnp.float32
 
   def _run_fwd(data3d, origins, directions, alpha, so3_params):
     if (fwd_mode == "pallas" and pallas_so3_ok
@@ -135,7 +154,32 @@ def make_march_allstage(spec, near, step_size, num_samples, block_size,
     res = (data3d, alpha, so3_params, pos, dirs_raw, nvals, g)
     return out, res
 
+  embed, head = make_so3_parts(*so3_key)
+
   def bwd(res, cts):
+    """Three-pass reverse sweep; linear-in-cotangent formulation.
+
+    The step adjoints are LINEAR in the state cotangents (pbar, dbar) with
+    coefficients that depend only on stored forward values, so instead of
+    running the so3 vjp + interp adjoint sequentially per step (768
+    latency-bound small matmuls), the sweep splits into:
+
+      pass 1 (parallel over steps, scanned per window): per-step Jacobian
+        pieces — interp derivatives d(n,g)/dp via the window
+        weight-derivative contractions, so3 head Jacobians du/dp, du/dg
+        via vmapped jacfwd (3 tangents through the MLP, batched over the
+        whole window), folded into a single [3,3] map K and affine terms;
+      pass 2 (the only sequential part): the 6-dim linear cotangent
+        recurrence  pbar_k = pbar + h K dbar + A nbar_dyn + c_p,
+        dbar_k = dbar + (h/n) pbar + c_d  — pure VPU work, ~40 flops per
+        ray-step, emitting the dbar trajectory;
+      pass 3 (parallel): so3 parameter/alpha cotangents in ONE batched
+        vjp over the full trajectory with cotangent h*mask*dbar_{k+1}.
+
+    Identical math to the per-step formulation (the Jacobian contraction
+    is reassociated), so it matches jax.grad of the tiled forward to fp32
+    round-off (tests/test_eikonal_vjp.py, train/selfcheck.py on device).
+    """
     data3d, alpha, so3_params, pos, dirs_raw, nvals, g = res
     dpos, ddirs, ddist, dn, dg, _doow = cts
     batch = pos.shape[0]
@@ -173,90 +217,153 @@ def make_march_allstage(spec, near, step_size, num_samples, block_size,
     def frac_of(rp):
       return cells_of(rp)[1]
 
-    theta0 = jax.tree_util.tree_map(jnp.zeros_like, so3_params)
+    so3_params_b = jax.tree_util.tree_map(lambda a: a.astype(bdt),
+                                          so3_params)
 
-    def inner_rev(carry, xs):
-      pbar, dbar, thetabar, alphabar, worigin, bricks = carry
-      (p_k, d_k, n_k, g_k, dp_k, dd_k, dn_k, dg_k, sb_k) = xs
+    def raw_of(p):  # [M, 3] -> [M, 3] so3 MLP output (batched, bwd dtype)
+      x = embed(p, alpha).astype(bdt)
+      return fmlp.mlp_apply(so3_params_b, x).astype(pos.dtype)
 
-      ubar = h * dbar                                        # [nb, R, 3]
-      gnorm = jnp.linalg.norm(g_k, axis=-1, keepdims=True)
-      mask = (gnorm > 1e-3).astype(ubar.dtype)
+    eye3 = jnp.eye(3, dtype=pos.dtype)
+    interp_prec = _HI if exact_bwd else None
 
-      flat = lambda x: x.reshape(-1, x.shape[-1])
-      _, so3_vjp = jax.vjp(
-          lambda th, al, rp, gg: so3_apply(th, al, rp, gg).reshape(
-              g_k.shape),
-          so3_params, alpha, flat(p_k), flat(g_k))
-      thb, alb, p_so3, g_so3 = so3_vjp(ubar * mask)
-      p_so3 = p_so3.reshape(p_k.shape)
-      g_so3 = g_so3.reshape(g_k.shape)
+    # ---- pass 1: per-step Jacobian pieces, batched over window CHUNKS --
+    # One reuse window is too little work per scan iteration (96 sequential
+    # iterations of ~0.2 ms fixed overhead dominate); processing `chunk`
+    # windows per iteration makes every contraction MXU-sized while keeping
+    # the wxy transients bounded (~chunk * refetch * batch * w^2 floats).
+    chunk = 1
+    for cand in range(min(12, n_outer), 0, -1):
+      if n_outer % cand == 0:
+        chunk = cand
+        break
 
-      gbar = ubar * (1.0 - mask) + g_so3 + dg_k
-      dlen = jnp.linalg.norm(d_k, axis=-1, keepdims=True)
-      inv_n = 1.0 / n_k                                      # [nb, R, 1]
-      pdotd = jnp.sum(pbar * d_k, axis=-1, keepdims=True)
-      nbar = (-(h * inv_n**2) * pdotd + dn_k
-              - sb_k[..., None] * (h * inv_n**2) * dlen)
-      dbar_k = (dbar + (h * inv_n) * pbar + dd_k
-                + sb_k[..., None] * (h * inv_n) * d_k / dlen)
+    def window_pieces(_, xs):
+      (pw, dw, nw, gw, dpw, ddw, dnw, dgw, sbw) = xs  # [c, s, nb, R, ...]
+      c = chunk
+      s = refetch_every
+      worigin = jax.vmap(
+          lambda p0, d0: eikt.window_origin(cells_of, p0, d0, refetch_every,
+                                            step_size, w, n))(
+              pw[:, 0], dw[:, 0])                       # [c, nb, 3]
+      bricks = jax.vmap(slice_window)(worigin)          # [c, nb, w, w, w, 4]
+      b2 = bricks.reshape(c, nb, w * w, w * 4).astype(bdt)
 
-      # Trilinear-interp adjoint wrt position via the weight derivatives.
-      vbar = jnp.concatenate([nbar, gbar], axis=-1)          # [nb, R, 4]
-      cell, frac = cells_of(p_k)
-      rel = jnp.clip(cell - worigin[:, None, :], 0, w - 2)
+      cell, frac = cells_of(pw)
+      rel = jnp.clip(cell - worigin[:, None, :, None, :], 0, w - 2)
       ux = eikt._axis_weights(rel[..., 0], frac[..., 0], w)
       uy = eikt._axis_weights(rel[..., 1], frac[..., 1], w)
       uz = eikt._axis_weights(rel[..., 2], frac[..., 2], w)
       dx = eikt._axis_dweights(rel[..., 0], w)
       dy = eikt._axis_dweights(rel[..., 1], w)
       dz = eikt._axis_dweights(rel[..., 2], w)
+
       # Two-stage contraction (xy one-hot matmul, then the tiny z reduce):
       # never materializes the [R, w^3] weight matrix whose HBM traffic
       # dominates the dense formulation (the same trick as the fused
       # Pallas forward). Association differs from the forward einsum only
       # in fp rounding (~1e-6), which the parity tests absorb.
-      b2 = bricks.reshape(nb, w * w, w * 4)
-
       def dvals(ax, ay, az):
         wxy = (ax[..., :, None] * ay[..., None, :]).reshape(
-            nb, block_size, w * w)
-        t = jnp.einsum("brk,bkz->brz", wxy, b2, precision=_HI)
-        t = t.reshape(nb, block_size, w, 4)
-        return jnp.sum(az[..., None] * t, axis=2)          # [nb, R, 4]
+            c, s, nb, block_size, w * w).astype(bdt)
+        t = jnp.einsum("csbrk,cbkz->csbrz", wxy, b2, precision=interp_prec,
+                       preferred_element_type=pos.dtype)
+        t = t.reshape(c, s, nb, block_size, w, 4)
+        return jnp.sum(az[..., None] * t, axis=4)       # [c, s, nb, R, 4]
 
-      fx = jnp.sum(vbar * dvals(dx, uy, uz), axis=-1)
-      fy = jnp.sum(vbar * dvals(ux, dy, uz), axis=-1)
-      fz = jnp.sum(vbar * dvals(ux, uy, dz), axis=-1)
-      fracbar = jnp.stack([fx, fy, fz], axis=-1)
-      _, frac_vjp = jax.vjp(frac_of, p_k)
-      p_interp = frac_vjp(fracbar)[0]
+      vx = dvals(dx, uy, uz)
+      vy = dvals(ux, dy, uz)
+      vz = dvals(ux, uy, dz)
+      # d(frac)/d(p) is DIAGONAL per axis (frac_a depends only on p_a
+      # through the shared clipped cells_of), so one vjp with an all-ones
+      # cotangent recovers the diagonal including all clip masks.
+      _, frac_vjp = jax.vjp(frac_of, pw)
+      dfdp = frac_vjp(jnp.ones_like(frac))[0]           # [c, s, nb, R, 3]
+      stackv = jnp.stack([vx, vy, vz], axis=-1)         # [c, s, nb, R, 4, 3]
+      dval_dp = stackv * dfdp[..., None, :]  # d[n,g]_c/dp_a
+      a_vec = dval_dp[..., 0, :]                        # dn/dp
+      b_mat = dval_dp[..., 1:, :]                       # dg_j/dp_a
+      bt_mat = jnp.swapaxes(b_mat, -1, -2)              # [..., 3(a), 3(j)]
 
-      pbar_k = pbar + p_so3 + p_interp + dp_k
-      thetabar = jax.tree_util.tree_map(jnp.add, thetabar, thb)
-      alphabar = alphabar + alb
-      return (pbar_k, dbar_k, thetabar, alphabar, worigin, bricks), None
+      # so3 head Jacobians at every window point: 3 basis tangents pushed
+      # through jax.linearize over the FLAT batch, so every tangent pass
+      # is a full-width [M, feat] matmul on the MXU (a per-sample
+      # vmap(jacfwd) lowers to M tiny dots — measured 2x SLOWER than the
+      # per-step vjp it replaced).
+      p_flat = pw.reshape(-1, 3)
+      g_flat = gw.reshape(-1, 3)
+      raw_flat, raw_jvp = jax.linearize(raw_of, p_flat)
+      basis = [jnp.broadcast_to(eye3[a], p_flat.shape) for a in range(3)]
+      j_raw = jnp.stack([raw_jvp(b) for b in basis], axis=-1)  # [M, 3, 3in]
+      _, head_jvp = jax.linearize(head, raw_flat, g_flat)
+      zeros = jnp.zeros_like(g_flat)
+      j_p = jnp.stack(  # d(head)/d(raw) @ d(raw)/d(p): chain both tangents
+          [head_jvp(j_raw[..., a], zeros) for a in range(3)], axis=-1)
+      j_g = jnp.stack([head_jvp(zeros, b) for b in basis], axis=-1)
+      shape6 = (c, s, nb, block_size, 3, 3)
+      jpt = jnp.swapaxes(j_p, -1, -2).reshape(shape6)
+      jgt = jnp.swapaxes(j_g, -1, -2).reshape(shape6)
 
-    def outer_rev(carry, xs):
-      pbar, dbar, thetabar, alphabar = carry
-      (pw, dw, nw, gw, dpw, ddw, dnw, dgw, sbw) = xs
-      # Window origin exactly as the forward computed it (from the
-      # window-START state).
-      worigin = eikt.window_origin(cells_of, pw[0], dw[0], refetch_every,
-                                   step_size, w, n)
-      bricks = slice_window(worigin)
-      (pbar, dbar, thetabar, alphabar, _, _), _ = jax.lax.scan(
-          inner_rev, (pbar, dbar, thetabar, alphabar, worigin, bricks),
-          (pw, dw, nw, gw, dpw, ddw, dnw, dgw, sbw),
-          reverse=True)
-      return (pbar, dbar, thetabar, alphabar), None
+      gnorm = jnp.linalg.norm(gw, axis=-1, keepdims=True)
+      mask = (gnorm > 1e-3).astype(pos.dtype)           # [c, s, nb, R, 1]
+      m5 = mask[..., None]
+      # gbar = (1-mask) ubar + Jg^T (mask ubar) + dg; pbar gets Jp^T
+      # (mask ubar) + B^T gbar; fold everything applied to ubar into K.
+      inner = (1.0 - m5) * eye3 + m5 * jgt
+      k_mat = m5 * jpt + jnp.einsum("...aj,...jk->...ak", bt_mat, inner,
+                                    precision=_HI)
+
+      dlen = jnp.linalg.norm(dw, axis=-1, keepdims=True)
+      inv_n = 1.0 / nw                                  # [c, s, nb, R, 1]
+      c_n = dnw - sbw[..., None] * (h * inv_n**2) * dlen
+      c_p = (a_vec * c_n
+             + jnp.einsum("...aj,...j->...a", bt_mat, dgw, precision=_HI)
+             + dpw)
+      c_d = ddw + sbw[..., None] * (h * inv_n) * dw / dlen
+      return None, (k_mat, a_vec, inv_n, c_p, c_d, mask)
+
+    def chunked(a):  # [n_outer, s, ...] -> [n_outer/chunk, chunk, s, ...]
+      return a.reshape((n_outer // chunk, chunk) + a.shape[1:])
+
+    _, pieces = jax.lax.scan(
+        window_pieces, None,
+        tuple(map(chunked, (pos_b, dir_b, n_b, g_b, dpos_b, ddir_b, dn_b,
+                            dg_b, seg_b))))
+    # [n_outer/chunk, chunk, refetch, ...] -> [S, nb, R, ...]
+    flat_s = lambda a: a.reshape((num_samples,) + a.shape[3:])
+    k_mat, a_vec, inv_n, c_p, c_d, mask = map(flat_s, pieces)
+    d_flat = dir_b.reshape((num_samples,) + dir_b.shape[2:])
+
+    # ---- pass 2: the sequential linear cotangent recurrence ----
+    def rev_step(carry, xs):
+      pbar, dbar = carry
+      k_k, a_k, in_k, cp_k, cd_k, d_k = xs
+      pdot = jnp.sum(pbar * d_k, axis=-1, keepdims=True)
+      pbar_k = (pbar
+                + h * jnp.einsum("...ak,...k->...a", k_k, dbar)
+                + a_k * (-(h * in_k**2) * pdot)
+                + cp_k)
+      dbar_k = dbar + (h * in_k) * pbar + cd_k
+      return (pbar_k, dbar_k), dbar
 
     zero3 = jnp.zeros((nb, block_size, 3), pos.dtype)
-    (pbar, dbar, thetabar, alphabar), _ = jax.lax.scan(
-        outer_rev,
-        (zero3, zero3, theta0, jnp.zeros_like(alpha)),
-        (pos_b, dir_b, n_b, g_b, dpos_b, ddir_b, dn_b, dg_b, seg_b),
-        reverse=True)
+    (pbar, dbar), dbar_traj = jax.lax.scan(
+        rev_step, (zero3, zero3),
+        (k_mat, a_vec, inv_n, c_p, c_d, d_flat),
+        reverse=True, unroll=8)
+
+    # ---- pass 3: so3 parameter / alpha cotangents, one batched vjp ----
+    ubar_all = (h * mask * dbar_traj).reshape(-1, 3)
+    p_all = pos_b.reshape(-1, 3)
+    g_all = g_b.reshape(-1, 3)
+
+    def so3_all(th, al):
+      thb = jax.tree_util.tree_map(lambda a: a.astype(bdt), th)
+      x = embed(p_all, al).astype(bdt)
+      return head(fmlp.mlp_apply(thb, x).astype(pos.dtype), g_all)
+
+    _, so3_vjp = jax.vjp(so3_all, so3_params, alpha)
+    thetabar, alphabar = so3_vjp(ubar_all)
 
     # p_0 = origins + near * directions; d_0 = directions.
     origins_bar = pbar.reshape(batch, 3)

@@ -1,0 +1,159 @@
+"""On-device correctness gate for the production marcher.
+
+All Pallas parity tests run under the CPU interpreter (tests/conftest.py
+forces the CPU backend), so the real Mosaic-compiled kernel is otherwise
+exercised only by un-asserted bench/validate runs. This module runs the
+actual production path ON THE CURRENT BACKEND and asserts agreement:
+
+  1. forward: fused Pallas march vs XLA tiled march vs the reference-parity
+     scan march on one tile-coherent batch (semantics of
+     rnerf/eikonal_utils.py:29-49 + ior_utils.py:188-223);
+  2. backward ("all" stage): the analytic custom-vjp reverse sweep
+     (ops/eikonal_vjp.py) vs jax.grad of the XLA tiled forward with the
+     so3 head (ior_utils.py:225-259).
+
+bench.py runs this before timing (BENCH_CHECK=0 disables) and records the
+result in its JSON line; a silently-broken kernel (e.g. a remote Mosaic
+compiler change) fails the bench instead of producing wrong timings.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import random
+
+from samplenerfro_tpu.ops import eikonal as eik_ops
+from samplenerfro_tpu.ops import eikonal_tiled as eikt
+from samplenerfro_tpu.ops import eikonal_vjp
+from samplenerfro_tpu.ops import grid as grid_ops
+from samplenerfro_tpu.ops import mlp as fmlp
+from samplenerfro_tpu.ops.pallas import march_kernel
+
+SO3_KEY = (0, 10, True, True, True, False)  # shipped VoxMLP branch
+
+
+def _blob_grid3d(spec, n):
+  axes = np.linspace(spec.nmin[0], spec.nmax[0], n)
+  xx, yy, zz = np.meshgrid(axes, axes, axes, indexing="ij")
+  vals = (1.0 + 0.5 * np.exp(-(xx**2 + yy**2 + zz**2) / 0.25)).reshape(-1, 1)
+  values = jnp.asarray(vals, jnp.float32)
+  grad = grid_ops.central_difference_grad(spec, values)
+  data = jnp.concatenate([values, grad], axis=-1)
+  return data, data.reshape(n, n, n * 4)
+
+
+def _center_tile_rays(batch, tile=16, res=800, fov=0.69):
+  """Tile-coherent camera bundles near the view center (tight spread)."""
+  rng = np.random.RandomState(3)
+  dirs = []
+  for _ in range(batch // (tile * tile)):
+    cx, cy = rng.randint(res // 2 - 64, res // 2 + 64 - tile, 2)
+    for py in range(tile):
+      for px in range(tile):
+        x = (cx + px - res / 2) / res * fov
+        y = (cy + py - res / 2) / res * fov
+        dd = np.array([np.tan(x), np.tan(y), 1.0])
+        dirs.append(dd / np.linalg.norm(dd))
+  d = np.asarray(dirs, np.float32)
+  o = np.broadcast_to(np.array([0, 0, -4.0], np.float32), d.shape).copy()
+  return jnp.asarray(o), jnp.asarray(d)
+
+
+def _assert_close(name, ref, got, scale_atol, deviations):
+  ref = np.asarray(ref)
+  got = np.asarray(got)
+  scale = max(float(np.abs(ref).max()), 1e-3)
+  dev = float(np.abs(ref - got).max())
+  deviations[name] = dev
+  if not dev <= scale_atol * scale:  # NaN-safe: fails on NaN too
+    raise AssertionError(
+        f"marcher self-check FAILED: {name} deviates by {dev:.3e} "
+        f"(allowed {scale_atol * scale:.3e}, scale {scale:.3e})")
+
+
+def check_march(grid_n=128, window=16, refetch=8, num_samples=768,
+                block_size=256, nblocks=2, grad_samples=192, fwd_atol=2e-3,
+                grad_atol=5e-3):
+  """Run the forward + backward march parity gate on the current backend.
+
+  Returns a dict of max deviations (all asserted within scale-relative
+  tolerance); raises AssertionError on disagreement or window violations.
+  Tolerances are scale-relative and loose enough to absorb fp32 round-off
+  amplified across the sequential march, but orders of magnitude below a
+  genuinely broken kernel.
+  """
+  spec = grid_ops.GridSpec([grid_n] * 3, [-1.5] * 3, [1.5] * 3)
+  data, data3d = _blob_grid3d(spec, grid_n)
+  batch = block_size * nblocks
+  o, d = _center_tile_rays(batch)
+  near, far = 2.0, 6.0
+  h = (far - near) / (num_samples - 1)
+  deviations = {}
+
+  # --- Forward: pallas vs tiled vs scan ------------------------------------
+  scan_out = eik_ops.march(spec, data, o, d, near, h, num_samples)
+  tiled_out = eikt.march_tiled(
+      spec, data3d, o, d, near, h, num_samples, block_size=block_size,
+      window=window, refetch_every=refetch)
+  assert int(tiled_out[5]) == 0, (
+      f"self-check probe batch clamped {int(tiled_out[5])} interpolations at "
+      f"window={window}; the probe bundles must fit the window")
+  outs = [tiled_out[:5]]
+  if march_kernel.supports(spec, num_samples, batch, block_size, window,
+                           refetch):
+    pallas_out = march_kernel.march_tiled_pallas(
+        spec, data3d, o, d, near, h, num_samples, block_size=block_size,
+        window=window, refetch_every=refetch)
+    assert int(pallas_out[5]) == 0, "pallas kernel reported window violations"
+    outs.append(pallas_out[:5])
+  for tag, out in zip(("tiled", "pallas"), outs):
+    for name, a, b in zip(("pos", "dirs", "dist", "n", "g"), scan_out, out):
+      _assert_close(f"fwd_{tag}_{name}", a, b, fwd_atol, deviations)
+
+  # --- Backward ("all" stage): analytic reverse sweep vs autodiff ----------
+  s_grad = grad_samples
+  in_dim = 2 * 3 * SO3_KEY[1]
+  so3 = fmlp.mlp_init(random.PRNGKey(7), in_dim, net_depth=4, net_width=128,
+                      skip_layer=2, num_out_channels=3, output_init_std=1e-2)
+  alpha = jnp.float32(0.6)
+  og, dg = o[:block_size], d[:block_size]
+  rng = np.random.RandomState(0)
+  weights = (jnp.asarray(rng.randn(block_size, s_grad, 3), jnp.float32),
+             jnp.asarray(rng.randn(block_size, s_grad, 3), jnp.float32),
+             jnp.asarray(rng.randn(block_size, s_grad), jnp.float32),
+             jnp.asarray(rng.randn(block_size, s_grad, 1), jnp.float32),
+             jnp.asarray(rng.randn(block_size, s_grad, 3), jnp.float32))
+
+  def loss_of(outs5):
+    pos, dirs, dist, nv, g = outs5[:5]
+    wp, wd, wt, wn, wg = weights
+    return (jnp.sum(jnp.sin(pos) * wp) + jnp.sum(dirs * wd)
+            + jnp.sum(dist * wt) + jnp.sum(nv * wn) + jnp.sum(g * wg))
+
+  so3_apply = eikonal_vjp.make_so3_apply(*SO3_KEY)
+
+  def loss_ref(o_, d_, al_, th_):
+    pred = lambda rp, g: so3_apply(th_, al_, rp, g)
+    return loss_of(eikt.march_tiled(
+        spec, data3d, o_, d_, near, h, s_grad, block_size=block_size,
+        window=window, refetch_every=refetch, pred_grad_fn=pred,
+        use_pred_grad=True))
+
+  march_all = eikonal_vjp.make_march_allstage(
+      spec, near, h, s_grad, block_size, window, refetch, SO3_KEY, "pallas")
+
+  def loss_new(o_, d_, al_, th_):
+    return loss_of(march_all(data3d, o_, d_, al_, th_))
+
+  val_ref, grads_ref = jax.jit(jax.value_and_grad(
+      loss_ref, argnums=(0, 1, 2, 3)))(og, dg, alpha, so3)
+  val_new, grads_new = jax.jit(jax.value_and_grad(
+      loss_new, argnums=(0, 1, 2, 3)))(og, dg, alpha, so3)
+  _assert_close("allstage_loss", val_ref, val_new, 1e-4, deviations)
+  for name, gr, gn in zip(("origins", "directions", "alpha", "so3"),
+                          grads_ref, grads_new):
+    new_leaves = dict(jax.tree_util.tree_leaves_with_path(gn))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(gr):
+      _assert_close(f"grad_{name}{jax.tree_util.keystr(path)}", leaf,
+                    new_leaves[path], grad_atol, deviations)
+  return deviations

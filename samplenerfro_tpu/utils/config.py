@@ -206,6 +206,11 @@ def define_flags():
                        "on probe batches.")
   flags.DEFINE_integer("march_refetch", 8,
                        "steps between window refetches in the tiled marcher.")
+  flags.DEFINE_enum("march_bwd_dtype", "float32", ["float32", "bfloat16"],
+                    "compute dtype of the 'all'-stage analytic reverse "
+                    "sweep's batched Jacobian/parameter passes "
+                    "(ops/eikonal_vjp.py); float32 matches autodiff "
+                    "exactly, bfloat16 is the fast production path.")
   flags.DEFINE_enum("mlp_dtype", "float32", ["float32", "bfloat16"],
                     "radiance-MLP compute dtype (params stay fp32); "
                     "bfloat16 is an opt-in fast path, quality-gate it on "

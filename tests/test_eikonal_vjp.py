@@ -130,3 +130,47 @@ def test_allstage_march_vjp_zero_cotangent_paths():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-3),
         g_ref, g_new)
+
+
+def test_allstage_march_vjp_bf16_mode():
+  """bfloat16 reverse-sweep passes: same structure, looser tolerance.
+
+  The production TPU configs run the batched Jacobian/parameter passes in
+  bf16 (ops/eikonal_vjp.py bwd_dtype); this checks the mode traces/runs
+  and stays within bf16-grade agreement of the exact fp32 sweep.
+  """
+  spec, data3d, o, d, so3, cfg = _setup(nrays=16, block=16)
+  alpha = jnp.float32(0.5)
+  marches = {
+      dt: eikonal_vjp.make_march_allstage(
+          spec, cfg["near"], cfg["step_size"], cfg["num_samples"],
+          cfg["block_size"], cfg["window"], cfg["refetch_every"],
+          SO3_KEY, "tiled", bwd_dtype=dt)
+      for dt in ("float32", "bfloat16")
+  }
+
+  def loss_fn(march):
+    def loss(o_, th_):
+      pos, dirs, dist, nv, g, _ = march(data3d, o_, d, alpha, th_)
+      return (jnp.sum(jnp.sin(pos)) + jnp.sum(dirs) + jnp.sum(dist)
+              + jnp.sum(nv) + jnp.sum(g))
+    return loss
+
+  g32 = jax.grad(loss_fn(marches["float32"]), argnums=(0, 1))(o, so3)
+  g16 = jax.grad(loss_fn(marches["bfloat16"]), argnums=(0, 1))(o, so3)
+  # The trained quantity in the "all" stage is the so3 PARAMETER gradient
+  # (rays are data); require percent-level L2 agreement and near-perfect
+  # direction of the full parameter-gradient vector (tiny individual
+  # leaves — 3-element biases — are relL2-noisy on their own). Ray-input
+  # cotangents amplify bf16 round-off through the sequential recurrence,
+  # so they only get a direction check.
+  def flat(tree):
+    return np.concatenate([np.asarray(x, np.float64).ravel()
+                           for x in jax.tree_util.tree_leaves(tree)])
+
+  a, b = flat(g32[1]), flat(g16[1])
+  rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-9)
+  assert rel <= 2e-2, f"so3 grad: relative L2 {rel:.3e}"
+  a, b = flat(g32[0]), flat(g16[0])
+  cos = (a @ b) / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-12)
+  assert cos >= 0.999, f"origins grad direction: cos {cos:.6f}"

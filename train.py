@@ -166,6 +166,7 @@ def main(unused_argv):
 
   batches = prefetch.device_prefetch(next_host_batch, mesh, size=3)
 
+  oow_trace = []  # device scalars; fetched (and policed) at print cadence
   for step, batch in zip(range(init_step, FLAGS.max_steps + 1), batches):
     if reset_timer:
       t_loop_start = time.time()
@@ -175,16 +176,21 @@ def main(unused_argv):
     if jax.process_index() == 0:
       # Keep device arrays; fetching here would sync every step.
       stats_trace.append(stats)
-    if tiled_training and step % FLAGS.print_every == 0:
+    if tiled_training:
       # Window-violation policy: the tiled marcher counts every clamped
       # out-of-window interpolation (ops/eikonal_tiled.py); a nonzero count
       # means the batch's bundles outgrew the calibrated window and results
-      # are no longer exact. Checked at print cadence (a device fetch here
-      # is already synchronized by the logging below).
-      oow = int(jax.device_get(stats.march_oow))
+      # are no longer exact. EVERY step's count is kept (as an unfetched
+      # device scalar — no sync) and the accumulated total is policed at
+      # print cadence, so violations between prints cannot slip through.
+      oow_trace.append(stats.march_oow)
+    if tiled_training and step % FLAGS.print_every == 0:
+      first_step = step - len(oow_trace) + 1
+      oow = int(np.sum(jax.device_get(oow_trace)))
+      oow_trace = []
       if oow > 0:
-        msg = (f"step {step}: tiled marcher clamped {oow} out-of-window "
-               f"interpolations (window={FLAGS.march_window})")
+        msg = (f"steps {first_step}..{step}: tiled marcher clamped {oow} "
+               f"out-of-window interpolations (window={FLAGS.march_window})")
         if FLAGS.march_oow_action == "fail":
           raise RuntimeError(
               msg + "; rerun with a larger --march_window, "
