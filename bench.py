@@ -241,7 +241,9 @@ def production_args(stage="radiance_bench", window=None, **over):
   # (see ops/eikonal_vjp.py); BENCH_MARCH_BWD_DTYPE=float32 for the
   # autodiff-exact configuration.
   march_bwd_dtype = os.environ.get("BENCH_MARCH_BWD_DTYPE", "bfloat16")
-  over = {"march_refetch": 8, "march_bwd_dtype": march_bwd_dtype, **over}
+  refetch = int(os.environ.get("BENCH_MARCH_REFETCH", "8"))
+  over = {"march_refetch": refetch, "march_bwd_dtype": march_bwd_dtype,
+          **over}
   return ship_args(march_mode=march_mode, tile_size=16, march_window=window,
                    mlp_dtype=mlp_dtype, mlp_remat=mlp_remat,
                    mlp_kernel=mlp_kernel, stage=stage, **over)

@@ -78,7 +78,7 @@ def main(unused_argv):
 
   if FLAGS.march_mode in ("tiled", "pallas") and FLAGS.march_window == 0:
     from samplenerfro_tpu.train import calibrate
-    model, FLAGS.march_window = calibrate.maybe_autocalibrate(
+    model, FLAGS.march_window, FLAGS.march_refetch = calibrate.maybe_autocalibrate(
         model, variables, FLAGS,
         calibrate.probe_batches_from_view(
             batch["rays"], FLAGS.tile_size, FLAGS.batch_size))

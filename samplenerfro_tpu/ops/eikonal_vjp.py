@@ -39,6 +39,7 @@ backward), falling back to march_tiled.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -89,10 +90,27 @@ def make_so3_apply(min_deg, max_deg, annealed, use_residual,
   return so3_apply
 
 
-@functools.lru_cache(maxsize=None)
 def make_march_allstage(spec, near, step_size, num_samples, block_size,
                         window, refetch_every, so3_key, fwd_mode,
-                        bwd_dtype="float32"):
+                        bwd_dtype="float32", bwd_impl=None):
+  """Build the custom-vjp all-stage marcher (cached per configuration).
+
+  bwd_impl selects the reverse-sweep implementation: "stepvjp" (the
+  production default — whole adjoint per step inside the reverse scan) or
+  "passes" (batched three-pass formulation; measured SLOWER on v5e, kept
+  as a documented negative result). None reads $EIKVJP_IMPL.
+  """
+  if bwd_impl is None:
+    bwd_impl = os.environ.get("EIKVJP_IMPL", "stepvjp")
+  return _make_march_allstage(spec, near, step_size, num_samples,
+                              block_size, window, refetch_every, so3_key,
+                              fwd_mode, bwd_dtype, bwd_impl)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_march_allstage(spec, near, step_size, num_samples, block_size,
+                         window, refetch_every, so3_key, fwd_mode,
+                         bwd_dtype="float32", bwd_impl="stepvjp"):
   """Build the custom-vjp all-stage marcher for one static configuration.
 
   Args (all static/hashable):
@@ -232,8 +250,10 @@ def make_march_allstage(spec, near, step_size, num_samples, block_size,
     # iterations of ~0.2 ms fixed overhead dominate); processing `chunk`
     # windows per iteration makes every contraction MXU-sized while keeping
     # the wxy transients bounded (~chunk * refetch * batch * w^2 floats).
+    _ablate = set(os.environ.get("EIKVJP_ABLATE", "").split(","))
     chunk = 1
-    for cand in range(min(12, n_outer), 0, -1):
+    for cand in range(min(int(os.environ.get("EIKVJP_CHUNK", "12")),
+                          n_outer), 0, -1):
       if n_outer % cand == 0:
         chunk = cand
         break
@@ -271,9 +291,12 @@ def make_march_allstage(spec, near, step_size, num_samples, block_size,
         t = t.reshape(c, s, nb, block_size, w, 4)
         return jnp.sum(az[..., None] * t, axis=4)       # [c, s, nb, R, 4]
 
-      vx = dvals(dx, uy, uz)
-      vy = dvals(ux, dy, uz)
-      vz = dvals(ux, uy, dz)
+      if "interp" in _ablate:
+        vx = vy = vz = jnp.zeros((c, s, nb, block_size, 4), pos.dtype)
+      else:
+        vx = dvals(dx, uy, uz)
+        vy = dvals(ux, dy, uz)
+        vz = dvals(ux, uy, dz)
       # d(frac)/d(p) is DIAGONAL per axis (frac_a depends only on p_a
       # through the shared clipped cells_of), so one vjp with an all-ones
       # cotangent recovers the diagonal including all clip masks.
@@ -290,19 +313,23 @@ def make_march_allstage(spec, near, step_size, num_samples, block_size,
       # is a full-width [M, feat] matmul on the MXU (a per-sample
       # vmap(jacfwd) lowers to M tiny dots — measured 2x SLOWER than the
       # per-step vjp it replaced).
-      p_flat = pw.reshape(-1, 3)
-      g_flat = gw.reshape(-1, 3)
-      raw_flat, raw_jvp = jax.linearize(raw_of, p_flat)
-      basis = [jnp.broadcast_to(eye3[a], p_flat.shape) for a in range(3)]
-      j_raw = jnp.stack([raw_jvp(b) for b in basis], axis=-1)  # [M, 3, 3in]
-      _, head_jvp = jax.linearize(head, raw_flat, g_flat)
-      zeros = jnp.zeros_like(g_flat)
-      j_p = jnp.stack(  # d(head)/d(raw) @ d(raw)/d(p): chain both tangents
-          [head_jvp(j_raw[..., a], zeros) for a in range(3)], axis=-1)
-      j_g = jnp.stack([head_jvp(zeros, b) for b in basis], axis=-1)
       shape6 = (c, s, nb, block_size, 3, 3)
-      jpt = jnp.swapaxes(j_p, -1, -2).reshape(shape6)
-      jgt = jnp.swapaxes(j_g, -1, -2).reshape(shape6)
+      if "so3jac" in _ablate:
+        jpt = jnp.zeros(shape6, pos.dtype)
+        jgt = jnp.zeros(shape6, pos.dtype)
+      else:
+        p_flat = pw.reshape(-1, 3)
+        g_flat = gw.reshape(-1, 3)
+        raw_flat, raw_jvp = jax.linearize(raw_of, p_flat)
+        basis = [jnp.broadcast_to(eye3[a], p_flat.shape) for a in range(3)]
+        j_raw = jnp.stack([raw_jvp(b) for b in basis], axis=-1)  # [M,3,3in]
+        _, head_jvp = jax.linearize(head, raw_flat, g_flat)
+        zeros = jnp.zeros_like(g_flat)
+        j_p = jnp.stack(  # d(head)/d(raw) @ d(raw)/d(p): chain the tangents
+            [head_jvp(j_raw[..., a], zeros) for a in range(3)], axis=-1)
+        j_g = jnp.stack([head_jvp(zeros, b) for b in basis], axis=-1)
+        jpt = jnp.swapaxes(j_p, -1, -2).reshape(shape6)
+        jgt = jnp.swapaxes(j_g, -1, -2).reshape(shape6)
 
       gnorm = jnp.linalg.norm(gw, axis=-1, keepdims=True)
       mask = (gnorm > 1e-3).astype(pos.dtype)           # [c, s, nb, R, 1]
@@ -347,23 +374,31 @@ def make_march_allstage(spec, near, step_size, num_samples, block_size,
       return (pbar_k, dbar_k), dbar
 
     zero3 = jnp.zeros((nb, block_size, 3), pos.dtype)
-    (pbar, dbar), dbar_traj = jax.lax.scan(
-        rev_step, (zero3, zero3),
-        (k_mat, a_vec, inv_n, c_p, c_d, d_flat),
-        reverse=True, unroll=8)
+    if "pass2" in _ablate:
+      pbar, dbar = zero3, zero3
+      dbar_traj = jnp.zeros((num_samples, nb, block_size, 3), pos.dtype)
+    else:
+      (pbar, dbar), dbar_traj = jax.lax.scan(
+          rev_step, (zero3, zero3),
+          (k_mat, a_vec, inv_n, c_p, c_d, d_flat),
+          reverse=True, unroll=8)
 
     # ---- pass 3: so3 parameter / alpha cotangents, one batched vjp ----
-    ubar_all = (h * mask * dbar_traj).reshape(-1, 3)
-    p_all = pos_b.reshape(-1, 3)
-    g_all = g_b.reshape(-1, 3)
+    if "pass3" in _ablate:
+      thetabar = jax.tree_util.tree_map(jnp.zeros_like, so3_params)
+      alphabar = jnp.zeros_like(alpha) + 1e-20 * jnp.sum(dbar_traj)
+    else:
+      ubar_all = (h * mask * dbar_traj).reshape(-1, 3)
+      p_all = pos_b.reshape(-1, 3)
+      g_all = g_b.reshape(-1, 3)
 
-    def so3_all(th, al):
-      thb = jax.tree_util.tree_map(lambda a: a.astype(bdt), th)
-      x = embed(p_all, al).astype(bdt)
-      return head(fmlp.mlp_apply(thb, x).astype(pos.dtype), g_all)
+      def so3_all(th, al):
+        thb = jax.tree_util.tree_map(lambda a: a.astype(bdt), th)
+        x = embed(p_all, al).astype(bdt)
+        return head(fmlp.mlp_apply(thb, x).astype(pos.dtype), g_all)
 
-    _, so3_vjp = jax.vjp(so3_all, so3_params, alpha)
-    thetabar, alphabar = so3_vjp(ubar_all)
+      _, so3_vjp = jax.vjp(so3_all, so3_params, alpha)
+      thetabar, alphabar = so3_vjp(ubar_all)
 
     # p_0 = origins + near * directions; d_0 = directions.
     origins_bar = pbar.reshape(batch, 3)
@@ -371,5 +406,139 @@ def make_march_allstage(spec, near, step_size, num_samples, block_size,
     return (jnp.zeros_like(data3d), origins_bar, directions_bar, alphabar,
             thetabar)
 
-  march.defvjp(fwd, bwd)
+  # Round-2 formulation kept as a selectable implementation: the whole
+  # adjoint (so3 vjp + interp weight-derivative contractions) evaluated
+  # per step inside the reverse scan. On this chip XLA schedules the
+  # in-scan small matmuls well, so it is competitive with the batched
+  # three-pass formulation; EIKVJP_IMPL picks at trace time.
+  def bwd_stepvjp(res, cts):
+    data3d, alpha, so3_params, pos, dirs_raw, nvals, g = res
+    dpos, ddirs, ddist, dn, dg, _doow = cts
+    batch = pos.shape[0]
+    nb = batch // block_size
+
+    # Cotangent of the raw (pre-normalization) directions, elementwise.
+    _, norm_vjp = jax.vjp(math_ops.safe_l2_normalize, dirs_raw)
+    ddirs_raw = norm_vjp(ddirs)[0]
+
+    # dist[k] = near + sum_{j<k} seg_j  ->  segbar_j = sum_{k>j} ddist_k.
+    revcum = jnp.cumsum(ddist[:, ::-1], axis=-1)[:, ::-1]
+    segbar = jnp.concatenate(
+        [revcum[:, 1:], jnp.zeros_like(revcum[:, :1])], axis=-1)
+
+    # [batch, S, ...] -> [n_outer, refetch, nb, R, ...] (march layout).
+    def reblock(a):
+      a = a.reshape((nb, block_size) + a.shape[1:])   # [nb, R, S, ...]
+      a = jnp.moveaxis(a, 2, 0)                        # [S, nb, R, ...]
+      return a.reshape((n_outer, refetch_every) + a.shape[1:])
+
+    pos_b = reblock(pos)
+    dir_b = reblock(dirs_raw)
+    n_b = reblock(nvals)
+    g_b = reblock(g)
+    dpos_b = reblock(dpos)
+    ddir_b = reblock(ddirs_raw)
+    dn_b = reblock(dn)
+    dg_b = reblock(dg)
+    seg_b = reblock(segbar)
+
+    grid4d = data3d.reshape(n, n, n, 4) if w >= 12 else None
+    cells_of = eikt.make_cells_of(spec, n, pos.dtype)
+    slice_window = eikt.make_slice_window(data3d, grid4d, n, w)
+
+    def frac_of(rp):
+      return cells_of(rp)[1]
+
+    theta0 = jax.tree_util.tree_map(jnp.zeros_like, so3_params)
+
+    def inner_rev(carry, xs):
+      pbar, dbar, thetabar, alphabar, worigin, bricks = carry
+      (p_k, d_k, n_k, g_k, dp_k, dd_k, dn_k, dg_k, sb_k) = xs
+
+      ubar = h * dbar                                        # [nb, R, 3]
+      gnorm = jnp.linalg.norm(g_k, axis=-1, keepdims=True)
+      mask = (gnorm > 1e-3).astype(ubar.dtype)
+
+      flat = lambda x: x.reshape(-1, x.shape[-1])
+      _, so3_vjp = jax.vjp(
+          lambda th, al, rp, gg: so3_apply(th, al, rp, gg).reshape(
+              g_k.shape),
+          so3_params, alpha, flat(p_k), flat(g_k))
+      thb, alb, p_so3, g_so3 = so3_vjp(ubar * mask)
+      p_so3 = p_so3.reshape(p_k.shape)
+      g_so3 = g_so3.reshape(g_k.shape)
+
+      gbar = ubar * (1.0 - mask) + g_so3 + dg_k
+      dlen = jnp.linalg.norm(d_k, axis=-1, keepdims=True)
+      inv_n = 1.0 / n_k                                      # [nb, R, 1]
+      pdotd = jnp.sum(pbar * d_k, axis=-1, keepdims=True)
+      nbar = (-(h * inv_n**2) * pdotd + dn_k
+              - sb_k[..., None] * (h * inv_n**2) * dlen)
+      dbar_k = (dbar + (h * inv_n) * pbar + dd_k
+                + sb_k[..., None] * (h * inv_n) * d_k / dlen)
+
+      # Trilinear-interp adjoint wrt position via the weight derivatives.
+      vbar = jnp.concatenate([nbar, gbar], axis=-1)          # [nb, R, 4]
+      cell, frac = cells_of(p_k)
+      rel = jnp.clip(cell - worigin[:, None, :], 0, w - 2)
+      ux = eikt._axis_weights(rel[..., 0], frac[..., 0], w)
+      uy = eikt._axis_weights(rel[..., 1], frac[..., 1], w)
+      uz = eikt._axis_weights(rel[..., 2], frac[..., 2], w)
+      dx = eikt._axis_dweights(rel[..., 0], w)
+      dy = eikt._axis_dweights(rel[..., 1], w)
+      dz = eikt._axis_dweights(rel[..., 2], w)
+      # Two-stage contraction (xy one-hot matmul, then the tiny z reduce):
+      # never materializes the [R, w^3] weight matrix whose HBM traffic
+      # dominates the dense formulation (the same trick as the fused
+      # Pallas forward). Association differs from the forward einsum only
+      # in fp rounding (~1e-6), which the parity tests absorb.
+      b2 = bricks.reshape(nb, w * w, w * 4)
+
+      def dvals(ax, ay, az):
+        wxy = (ax[..., :, None] * ay[..., None, :]).reshape(
+            nb, block_size, w * w)
+        t = jnp.einsum("brk,bkz->brz", wxy, b2, precision=_HI)
+        t = t.reshape(nb, block_size, w, 4)
+        return jnp.sum(az[..., None] * t, axis=2)          # [nb, R, 4]
+
+      fx = jnp.sum(vbar * dvals(dx, uy, uz), axis=-1)
+      fy = jnp.sum(vbar * dvals(ux, dy, uz), axis=-1)
+      fz = jnp.sum(vbar * dvals(ux, uy, dz), axis=-1)
+      fracbar = jnp.stack([fx, fy, fz], axis=-1)
+      _, frac_vjp = jax.vjp(frac_of, p_k)
+      p_interp = frac_vjp(fracbar)[0]
+
+      pbar_k = pbar + p_so3 + p_interp + dp_k
+      thetabar = jax.tree_util.tree_map(jnp.add, thetabar, thb)
+      alphabar = alphabar + alb
+      return (pbar_k, dbar_k, thetabar, alphabar, worigin, bricks), None
+
+    def outer_rev(carry, xs):
+      pbar, dbar, thetabar, alphabar = carry
+      (pw, dw, nw, gw, dpw, ddw, dnw, dgw, sbw) = xs
+      # Window origin exactly as the forward computed it (from the
+      # window-START state).
+      worigin = eikt.window_origin(cells_of, pw[0], dw[0], refetch_every,
+                                   step_size, w, n)
+      bricks = slice_window(worigin)
+      (pbar, dbar, thetabar, alphabar, _, _), _ = jax.lax.scan(
+          inner_rev, (pbar, dbar, thetabar, alphabar, worigin, bricks),
+          (pw, dw, nw, gw, dpw, ddw, dnw, dgw, sbw),
+          reverse=True)
+      return (pbar, dbar, thetabar, alphabar), None
+
+    zero3 = jnp.zeros((nb, block_size, 3), pos.dtype)
+    (pbar, dbar, thetabar, alphabar), _ = jax.lax.scan(
+        outer_rev,
+        (zero3, zero3, theta0, jnp.zeros_like(alpha)),
+        (pos_b, dir_b, n_b, g_b, dpos_b, ddir_b, dn_b, dg_b, seg_b),
+        reverse=True)
+
+    # p_0 = origins + near * directions; d_0 = directions.
+    origins_bar = pbar.reshape(batch, 3)
+    directions_bar = (near * pbar + dbar).reshape(batch, 3)
+    return (jnp.zeros_like(data3d), origins_bar, directions_bar, alphabar,
+            thetabar)
+
+  march.defvjp(fwd, bwd_stepvjp if bwd_impl == "stepvjp" else bwd)
   return march

@@ -44,9 +44,12 @@ from jax.experimental.pallas import tpu as pltpu
 from samplenerfro_tpu.ops import math as math_ops
 
 _ZEXT = 64  # z window extent (voxels); 32-aligned origin => covers extent 31
-# Interpolation matmul precision (HIGHEST == fp32-exact bf16x3, required for
-# parity with the XLA marcher; module knob for ablation).
-_INTERP_PRECISION = jax.lax.Precision.HIGHEST
+# Interpolation matmul precision (HIGHEST == fp32-exact bf16x6, required for
+# parity with the XLA marcher; env knob for perf ablation:
+# MARCH_INTERP_PRECISION=high runs bf16x3).
+_INTERP_PRECISION = getattr(
+    jax.lax.Precision,
+    __import__("os").environ.get("MARCH_INTERP_PRECISION", "highest").upper())
 # Scoped-VMEM budget for one kernel invocation. The kernel advances every
 # ray block per grid step, so its scratch (grid windows + transposes + ray
 # state) and double-buffered output scale LINEARLY with the block count;
@@ -440,10 +443,13 @@ def _march_pallas_impl(spec, data, origins, directions, near, step_size,
   return pos, dirs, dist, nvals, g, oow[0, 0]
 
 
+_DEFAULT_UNROLL = int(__import__("os").environ.get("MARCH_UNROLL", "1"))
+
+
 def march_tiled_pallas(spec, data, origins, directions, near, step_size,
                        num_samples, block_size=256, window=8,
                        refetch_every=8, so3_params=None, annealed_alpha=1.0,
-                       max_deg=10, unroll=1, interpret=False,
+                       max_deg=10, unroll=_DEFAULT_UNROLL, interpret=False,
                        normalize_dirs=True):
   """Fused-kernel twin of eikonal_tiled.march_tiled (same returns).
 

@@ -32,40 +32,53 @@ def probe_batches_from_view(rays, tile_size, batch_size):
 
 
 def maybe_autocalibrate(model, variables, flags, probe_batches):
-  """Resolve --march_window=0 to a measured window; returns (model, window).
+  """Resolve --march_window=0 to a measured (window, refetch).
 
-  No-op (returns the model unchanged and the configured window) unless the
-  marcher is windowed and the window is 0.
+  Returns (model, window, refetch). No-op (returns the model unchanged and
+  the configured values) unless the marcher is windowed and the window is 0.
   """
   if flags.march_mode not in ("tiled", "pallas") or flags.march_window != 0:
-    return model, flags.march_window
+    return model, flags.march_window, flags.march_refetch
   probe_model = model.clone(march_window=16)
-  window, oow_by_window = calibrate_march_window(probe_model, variables,
-                                                 probe_batches)
-  print(f"march window auto-calibration: {oow_by_window} -> {window}")
-  return model.clone(march_window=window), window
+  (window, refetch), oow_by_cand = calibrate_march_window(
+      probe_model, variables, probe_batches)
+  print(f"march window auto-calibration: {oow_by_cand} "
+        f"-> window={window} refetch={refetch}")
+  return (model.clone(march_window=window, march_refetch=refetch), window,
+          refetch)
 
 
-def calibrate_march_window(model, variables, batches,
-                           candidates=(8, 10, 12, 16, 20, 24),
+# (window, refetch) probe order ~ descending measured march throughput on
+# one v5e at ship scale: smaller windows march faster (less DMA + smaller
+# one-hot contractions); when a window's full reuse period drifts out,
+# HALVING refetch_every halves the drift the window margin must cover and
+# costs only extra (cheap) window DMAs — so (8, 4) ranks between (8, 8)
+# and the next window size up, keeping w8's speed for scenes whose bundles
+# fit it at the shorter reuse period. Exactness is never relaxed: a
+# candidate is accepted only with ZERO out-of-window clamps on the probes.
+CANDIDATES = ((8, 8), (8, 4), (10, 8), (12, 8), (12, 4), (16, 8), (16, 4),
+              (20, 8), (24, 8), (24, 4))
+
+
+def calibrate_march_window(model, variables, batches, candidates=CANDIDATES,
                            annealed_alpha=1.0):
-  """Pick the smallest window with zero violations on probe batches.
+  """Pick the fastest (window, refetch) with zero violations on probes.
 
   Args:
-    model: a NerfModel configured with march_mode="tiled".
+    model: a NerfModel configured with march_mode="tiled"/"pallas".
     variables: its variables (params + grid collections).
     batches: iterable of training batches (dicts with "rays").
-    candidates: ascending window sizes to try.
+    candidates: (window, refetch) pairs in descending expected speed.
     annealed_alpha: PE annealing value to probe with.
 
   Returns:
-    (window, per_candidate_oow dict). Falls back to the largest candidate
-    (with its violation count) if none is clean.
+    ((window, refetch), per_candidate_oow dict). Falls back to the last
+    candidate (with its violation count) if none is clean.
   """
   batches = list(batches)
   results = {}
-  for window in candidates:
-    probe_model = model.clone(march_window=window)
+  for window, refetch in candidates:
+    probe_model = model.clone(march_window=window, march_refetch=refetch)
 
     @jax.jit
     def probe(variables, origins, viewdirs, probe_model=probe_model):
@@ -87,7 +100,7 @@ def calibrate_march_window(model, variables, batches,
       rays = batch["rays"]
       total += int(probe(variables, np.asarray(rays.origins),
                          np.asarray(rays.viewdirs)))
-    results[window] = total
+    results[(window, refetch)] = total
     if total == 0:
-      return window, results
+      return (window, refetch), results
   return candidates[-1], results

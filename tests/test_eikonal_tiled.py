@@ -164,10 +164,10 @@ def test_window_calibration():
   grid = np.asarray(_blob_grid()[1][:, :1])
   model, variables = construct_nerf(
       random.PRNGKey(0), {"rays": rays}, args, ndim, nmin, nmax, grid)
-  window, results = calibrate.calibrate_march_window(
-      model, variables, [{"rays": rays}], candidates=(6, 8, 10, 12))
-  assert results[window] == 0 or window == 12
-  # The chosen window must be clean or the largest candidate.
-  smaller = [w for w in (6, 8, 10) if w < window]
-  for w in smaller:
-    assert results[w] > 0
+  cands = ((6, 4), (6, 2), (8, 4), (10, 4), (12, 4))
+  chosen, results = calibrate.calibrate_march_window(
+      model, variables, [{"rays": rays}], candidates=cands)
+  assert results[chosen] == 0 or chosen == cands[-1]
+  # Every candidate probed before the chosen one must have violations.
+  for cand in cands[:cands.index(chosen)]:
+    assert results[cand] > 0

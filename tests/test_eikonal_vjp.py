@@ -57,12 +57,16 @@ def _loss_of(outs, weights):
           + jnp.sum(dist * wt) + jnp.sum(nv * wn) + jnp.sum(g * wg))
 
 
-def test_allstage_march_vjp_matches_autodiff():
+import pytest
+
+
+@pytest.mark.parametrize("bwd_impl", ["stepvjp", "passes"])
+def test_allstage_march_vjp_matches_autodiff(bwd_impl):
   spec, data3d, o, d, so3, cfg = _setup()
   march = eikonal_vjp.make_march_allstage(
       spec, cfg["near"], cfg["step_size"], cfg["num_samples"],
       cfg["block_size"], cfg["window"], cfg["refetch_every"],
-      SO3_KEY, "tiled")
+      SO3_KEY, "tiled", bwd_impl=bwd_impl)
   alpha = jnp.float32(0.6)
   rng = np.random.RandomState(0)
   S = cfg["num_samples"]
@@ -141,11 +145,13 @@ def test_allstage_march_vjp_bf16_mode():
   """
   spec, data3d, o, d, so3, cfg = _setup(nrays=16, block=16)
   alpha = jnp.float32(0.5)
+  # bwd_dtype only affects the batched "passes" implementation; pin it
+  # so the fp32-vs-bf16 comparison stays meaningful under any default.
   marches = {
       dt: eikonal_vjp.make_march_allstage(
           spec, cfg["near"], cfg["step_size"], cfg["num_samples"],
           cfg["block_size"], cfg["window"], cfg["refetch_every"],
-          SO3_KEY, "tiled", bwd_dtype=dt)
+          SO3_KEY, "tiled", bwd_dtype=dt, bwd_impl="passes")
       for dt in ("float32", "bfloat16")
   }
 

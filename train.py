@@ -82,7 +82,7 @@ def main(unused_argv):
       # Probe with tile-reordered rays from a validation view.
       probe_batches = calibrate.probe_batches_from_view(
           val_dataset.peek()["rays"], FLAGS.tile_size, FLAGS.batch_size)
-    model, FLAGS.march_window = calibrate.maybe_autocalibrate(
+    model, FLAGS.march_window, FLAGS.march_refetch = calibrate.maybe_autocalibrate(
         model, variables, FLAGS, probe_batches)
   render_tile = FLAGS.tile_size if FLAGS.march_mode in ("tiled",
                                                         "pallas") else 0
@@ -196,12 +196,31 @@ def main(unused_argv):
               msg + "; rerun with a larger --march_window, "
               "--march_window=0 (auto-calibrate), or --march_mode=scan.")
         if FLAGS.march_oow_action == "fallback":
-          print("WARNING: " + msg + "; falling back to the exact scan "
-                "marcher for the rest of training.")
-          train_model = train_model.clone(march_mode="scan")
+          # Step DOWN the marcher ladder instead of cliff-dropping to the
+          # 3x-slower scan: first halve the window reuse period (halves
+          # the drift the margin must cover), then widen the window, and
+          # only past the largest window fall back to the exact scan.
+          if FLAGS.march_refetch > 4:
+            FLAGS.march_refetch //= 2
+            print("WARNING: " + msg + "; halving --march_refetch to "
+                  f"{FLAGS.march_refetch} (drift per window reuse halves).")
+            train_model = train_model.clone(
+                march_refetch=FLAGS.march_refetch)
+          elif FLAGS.march_window < 32:
+            FLAGS.march_window = min(32, FLAGS.march_window + 8)
+            FLAGS.march_refetch = 8
+            print("WARNING: " + msg + "; widening --march_window to "
+                  f"{FLAGS.march_window}.")
+            train_model = train_model.clone(
+                march_window=FLAGS.march_window,
+                march_refetch=FLAGS.march_refetch)
+          else:
+            print("WARNING: " + msg + "; falling back to the exact scan "
+                  "marcher for the rest of training.")
+            train_model = train_model.clone(march_mode="scan")
+            tiled_training = False
           train_pstep = step_lib.make_train_step(train_model, FLAGS,
                                                  grid_vars)
-          tiled_training = False
         else:
           print("WARNING: " + msg)
     if step % FLAGS.gc_every == 0:
