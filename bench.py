@@ -9,12 +9,17 @@ ONE JSON line:
 The HEADLINE value is the flagship ship workload (batch 1024 rays,
 64 coarse + 128 fine samples, 12 eikonal path samples, 8x256 MLPs,
 BENCH_GRID_N^3 IOR grid — default 512, the ship scene's
-voxelize_uni512_highpoly scale). The same JSON line carries companion
-measurements as extra fields (BENCH_FAST=1 skips them):
+voxelize_uni512_highpoly scale). The march (window, refetch) is
+AUTO-CALIBRATED on the bench batch exactly as production
+--march_window=0 (fastest pair with zero out-of-window clamps), the
+chosen pair and the timed steps' march_oow are recorded in the JSON, and
+"march_exact" says whether the measured configuration is clamp-free.
+BENCH_MARCH_WINDOW pins a window instead. The same JSON line carries
+companion measurements as extra fields (BENCH_FAST=1 skips them):
 
   grid128_rays_per_sec      the 128^3 workload (round-1/2 continuity)
-  grid384_w24_rays_per_sec  real-scene scale: 384^3 grid, 64x24 march,
-                            window 24 (configs/glass.{yaml,gin})
+  grid384_s24_rays_per_sec  real-scene scale: 384^3 grid, 64x24=1536-step
+                            march (configs/glass.{yaml,gin}), auto window
   all_stage_rays_per_sec    joint-refinement stage (differentiable march
                             via the analytic reverse sweep)
   eval_rays_per_sec         chunked full-image render (the reference's
@@ -190,8 +195,24 @@ def _build(args, grid_n):
 
 
 def measure_train(args, grid_n, n_steps=20):
-  """Rays/s of the full train step for one configuration."""
+  """(rays/s, info) of the full train step for one configuration.
+
+  march_window == 0 auto-calibrates the (window, refetch) pair on the
+  bench batch exactly as the production driver does (--march_window=0),
+  so the recorded number is the fastest configuration with ZERO window
+  clamps. `info` records the chosen pair and the measured march_oow of
+  the timed steps ("march_exact": whether the result is clamp-free).
+  """
   model, state, grid_vars, mesh, batch = _build(args, grid_n)
+  info = {}
+  if args.march_mode in ("tiled", "pallas") and args.march_window == 0:
+    from samplenerfro_tpu.train import calibrate
+    variables = {"params": state.params, **grid_vars}
+    (w, r), oow_by = calibrate.calibrate_march_window(
+        model, variables, [{"rays": batch["rays"]}])
+    model = model.clone(march_window=w, march_refetch=r)
+    args.march_window, args.march_refetch = w, r
+    info["march_window"], info["march_refetch"] = w, r
   tstep = step_lib.make_train_step(model, args, grid_vars)
   dbatch = mesh_lib.put_batch(batch, mesh)
   keys = random.PRNGKey(1)
@@ -203,13 +224,25 @@ def measure_train(args, grid_n, n_steps=20):
     state, stats, keys = tstep(keys, state, dbatch)
   jax.block_until_ready(state.params)
   dt = time.perf_counter() - t0
-  return BATCH * n_steps / dt
+  if args.march_mode in ("tiled", "pallas"):
+    oow = int(jax.device_get(stats.march_oow))
+    info["march_oow"] = oow
+    info["march_exact"] = oow == 0
+  return BATCH * n_steps / dt, info
 
 
 def measure_eval(args, grid_n, res=800, chunk=8192):
   """Rays/s of the chunked tile-reordered full-image render."""
   from samplenerfro_tpu.utils import render as render_lib
   model, state, grid_vars, mesh, _ = _build(args, grid_n)
+  if args.march_mode in ("tiled", "pallas") and args.march_window == 0:
+    from samplenerfro_tpu.train import calibrate
+    variables = {"params": state.params, **grid_vars}
+    probe = calibrate.probe_batches_from_view(
+        camera_rays(res), args.tile_size, BATCH)
+    (w, r), _ = calibrate.calibrate_march_window(model, variables, probe)
+    model = model.clone(march_window=w, march_refetch=r)
+    args.march_window, args.march_refetch = w, r
   render_fn = step_lib.make_render_fn(model, args, grid_vars, mesh=mesh)
   img_rays = camera_rays(res)
   params = state.params
@@ -227,7 +260,9 @@ def measure_eval(args, grid_n, res=800, chunk=8192):
 def production_args(stage="radiance_bench", window=None, **over):
   march_mode = os.environ.get("BENCH_MARCH_MODE", "pallas")
   if window is None:
-    window = int(os.environ.get("BENCH_MARCH_WINDOW", "16"))
+    # 0 = auto-calibrate (window, refetch) on the bench batch, exactly as
+    # the production --march_window=0 path; a number pins the window.
+    window = int(os.environ.get("BENCH_MARCH_WINDOW", "0"))
   # Production default: bf16 radiance MLPs (quality-validated neutral on
   # the synthetic benchmark — STATUS.md "Quality A/B"); scan mode stays
   # fp32 (it is the reference-parity configuration).
@@ -241,9 +276,11 @@ def production_args(stage="radiance_bench", window=None, **over):
   # (see ops/eikonal_vjp.py); BENCH_MARCH_BWD_DTYPE=float32 for the
   # autodiff-exact configuration.
   march_bwd_dtype = os.environ.get("BENCH_MARCH_BWD_DTYPE", "bfloat16")
+  # Fused-march interpolation precision (A/B knob; "highest" = fp32-exact).
+  march_interp = os.environ.get("BENCH_MARCH_INTERP", "highest")
   refetch = int(os.environ.get("BENCH_MARCH_REFETCH", "8"))
   over = {"march_refetch": refetch, "march_bwd_dtype": march_bwd_dtype,
-          **over}
+          "march_interp": march_interp, **over}
   return ship_args(march_mode=march_mode, tile_size=16, march_window=window,
                    mlp_dtype=mlp_dtype, mlp_remat=mlp_remat,
                    mlp_kernel=mlp_kernel, stage=stage, **over)
@@ -257,8 +294,8 @@ def main():
     # disagreement between pallas/tiled/scan forwards or between the
     # analytic all-stage VJP and XLA autodiff.
     from samplenerfro_tpu.train import selfcheck
-    deviations = selfcheck.check_march(
-        window=int(os.environ.get("BENCH_MARCH_WINDOW", "16")))
+    check_window = int(os.environ.get("BENCH_MARCH_WINDOW", "0")) or 16
+    deviations = selfcheck.check_march(window=check_window)
     record["check"] = "ok"
     record["check_max_dev"] = round(max(deviations.values()), 8)
   else:
@@ -285,28 +322,34 @@ def main():
   stage = ("all_bench" if os.environ.get("BENCH_STAGE") == "all"
            else "radiance_bench")
   args = production_args(stage=stage)
-  value = measure_train(args, GRID_N)
+  value, info = measure_train(args, GRID_N)
+  record.update(info)
 
   parity = PARITY_SCAN_TPU_RAYS_PER_SEC
   parity_prov = "stored constant (measured on one v5e; see bench.py)"
   if os.environ.get("BENCH_REMEASURE_PARITY", "0") == "1":
-    parity = measure_train(
+    parity, _ = measure_train(
         ship_args(march_mode="scan", tile_size=16, march_window=16,
                   march_refetch=8, mlp_dtype="float32", mlp_remat=False,
                   mlp_kernel="xla", stage="radiance_bench"), 128)
     parity_prov = "re-measured this run (BENCH_REMEASURE_PARITY=1)"
     record["parity_scan_tpu_rays_per_sec"] = round(parity, 1)
 
+  def companion(name, args_c, grid_n):
+    rays, inf = measure_train(args_c, grid_n)
+    record[f"{name}_rays_per_sec"] = round(rays, 1)
+    for k in ("march_window", "march_refetch"):
+      if k in inf:
+        record[f"{name}_{k.split('_')[1]}"] = inf[k]
+    if not inf.get("march_exact", True):
+      record[f"{name}_march_oow"] = inf["march_oow"]
+
   if os.environ.get("BENCH_FAST", "0") != "1" and stage == "radiance_bench":
     # Companion measurements for the record (see module docstring).
     if GRID_N != 128:
-      record["grid128_rays_per_sec"] = round(
-          measure_train(production_args(), 128), 1)
-    record["grid384_w24_rays_per_sec"] = round(
-        measure_train(production_args(window=24, num_path_samples=24,
-                                      march_refetch=8), 384), 1)
-    record["all_stage_rays_per_sec"] = round(
-        measure_train(production_args(stage="all_bench"), GRID_N), 1)
+      companion("grid128", production_args(), 128)
+    companion("grid384_s24", production_args(num_path_samples=24), 384)
+    companion("all_stage", production_args(stage="all_bench"), GRID_N)
     record["eval_rays_per_sec"] = round(
         measure_eval(production_args(), GRID_N)[0], 1)
 

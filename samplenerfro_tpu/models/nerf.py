@@ -88,6 +88,9 @@ class NerfModel(nn.Module):
   tile_block: int = 256
   march_window: int = 16
   march_refetch: int = 8
+  # Fused-march interpolation precision ("highest" fp32-exact | "high"
+  # bf16x3 fast path); see models/path_sampler.py.
+  march_interp: str = "highest"
   # Radiance-MLP compute dtype ("float32" | "bfloat16"); params stay fp32.
   mlp_dtype: str = "float32"
   mlp_remat: bool = False
@@ -139,7 +142,8 @@ class NerfModel(nn.Module):
         march_bwd_dtype=self.march_bwd_dtype,
         tile_block=self.tile_block,
         march_window=self.march_window,
-        march_refetch=self.march_refetch)
+        march_refetch=self.march_refetch,
+        march_interp=self.march_interp)
 
     self.coarse_step_size = (self.far - self.near) / self.num_coarse_samples
     self.fine_step_size = (self.far - self.near) / (
@@ -531,6 +535,7 @@ def construct_nerf(key, example_batch, args, ndim, nmin, nmax, grid,
       tile_block=int(getattr(args, "tile_size", 16))**2,
       march_window=int(getattr(args, "march_window", 16)),
       march_refetch=int(getattr(args, "march_refetch", 8)),
+      march_interp=str(getattr(args, "march_interp", "highest")),
   )
 
   # Batches are flat [batch, ...] host arrays (no per-device leading axis as

@@ -73,6 +73,12 @@ class PathSampler(nn.Module):
   tile_block: int = 256
   march_window: int = 16
   march_refetch: int = 8
+  # Fused-kernel interpolation matmul precision: "highest" is fp32-exact
+  # (bit-parity with the XLA marchers); "high" (bf16x3) halves the
+  # per-step one-hot contraction cost — the march's dominant FLOPs — at a
+  # small trajectory perturbation (quality-gated on the synthetic
+  # exact-GT scene, scripts/validate_quality.py).
+  march_interp: str = "highest"
   # Reverse-sweep Jacobian/param-pass dtype for the differentiable "all"
   # stage (ops/eikonal_vjp.py): float32 matches autodiff exactly;
   # bfloat16 is the fast production path (same precision story as the
@@ -214,7 +220,8 @@ class PathSampler(nn.Module):
           self.step_size, self.num_samples, block_size=self.tile_block,
           window=self.march_window, refetch_every=self.march_refetch,
           so3_params=(so3_params if use_pred else None),
-          annealed_alpha=annealed_alpha, max_deg=self.max_deg_point)
+          annealed_alpha=annealed_alpha, max_deg=self.max_deg_point,
+          interp_precision=self.march_interp)
       self.sow("diagnostics", "march_oow", oow,
                init_fn=lambda: jnp.int32(0),
                reduce_fn=lambda a, b: a + b)

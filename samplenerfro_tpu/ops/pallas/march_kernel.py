@@ -44,12 +44,18 @@ from jax.experimental.pallas import tpu as pltpu
 from samplenerfro_tpu.ops import math as math_ops
 
 _ZEXT = 64  # z window extent (voxels); 32-aligned origin => covers extent 31
-# Interpolation matmul precision (HIGHEST == fp32-exact bf16x6, required for
-# parity with the XLA marcher; env knob for perf ablation:
-# MARCH_INTERP_PRECISION=high runs bf16x3).
-_INTERP_PRECISION = getattr(
-    jax.lax.Precision,
-    __import__("os").environ.get("MARCH_INTERP_PRECISION", "highest").upper())
+# Default interpolation matmul precision (HIGHEST == fp32-exact, required
+# for bit-parity with the XLA marcher; "high" == bf16x3 halves the MXU
+# passes of the per-step one-hot contractions — the march's dominant cost
+# — at a small trajectory perturbation, quality-gated via
+# scripts/validate_quality.py). Callers override via the march_interp
+# config flag; MARCH_INTERP_PRECISION is the env ablation knob.
+_INTERP_PRECISION = __import__("os").environ.get(
+    "MARCH_INTERP_PRECISION", "highest")
+
+
+def _precision(name):
+  return getattr(jax.lax.Precision, name.upper())
 # Scoped-VMEM budget for one kernel invocation. The kernel advances every
 # ray block per grid step, so its scratch (grid windows + transposes + ray
 # state) and double-buffered output scale LINEARLY with the block count;
@@ -68,7 +74,8 @@ def _pad8(x):
   return -(-x // 8) * 8
 
 
-def _per_block_vmem_bytes(window, refetch_every, block_size):
+def _per_block_vmem_bytes(window, refetch_every, block_size, unroll=1,
+                          so3=False):
   """Scoped-VMEM bytes one ray block contributes to a kernel invocation.
 
   Minor-two dims of every buffer are (8, 128)-tile padded, hence the
@@ -76,6 +83,12 @@ def _per_block_vmem_bytes(window, refetch_every, block_size):
   (the fitted variable cost at w16 is ~0.43 MB/block; this model charges
   ~1.1 MB): splitting into a few extra sequential calls is cheap, a
   scoped-vmem compile failure is not.
+
+  A fully-unrolled step loop keeps part of each step's temporaries (the
+  [w*yext, R] one-hot matrix dominates) live on Mosaic's scoped stack
+  instead of reusing one iteration's slots. The 0.75 factor is fitted to
+  compile-probe ground truth at 512^3/nb4: w8/w16 fit at full unroll,
+  w24 OOMs at both r8 (17.99 MB vs the 16 MB stack) and r4.
   """
   yext = window + 8
   zc = _ZEXT * 4
@@ -83,15 +96,20 @@ def _per_block_vmem_bytes(window, refetch_every, block_size):
   tr_scratch = zc * window * yext * 4           # transposed window scratch
   out_block = refetch_every * _pad8(11) * block_size * 4 * 2  # dbl-buffered
   state = 3 * _pad8(3) * block_size * 4
-  return win_scratch + tr_scratch + out_block + state
+  unrolled = 0
+  if unroll > 1:
+    step_rows = 0.75 * window * yext + (512 if so3 else 0)
+    unrolled = int((unroll - 1) * step_rows * block_size * 4)
+  return win_scratch + tr_scratch + out_block + state + unrolled
 
 
-def max_blocks_per_call(window, refetch_every, block_size, grid_bytes=0):
+def max_blocks_per_call(window, refetch_every, block_size, grid_bytes=0,
+                        unroll=1, so3=False):
   """Largest block count whose scratch+output staging fits scoped VMEM."""
   fixed = 2 * grid_bytes if grid_bytes <= _GRID_VMEM_RESIDENT_MAX else 0
   avail = _VMEM_BUDGET_BYTES - fixed
   return max(1, avail // _per_block_vmem_bytes(window, refetch_every,
-                                               block_size))
+                                               block_size, unroll, so3))
 
 
 def _supports(spec, num_samples, batch, block_size, window, refetch_every):
@@ -100,6 +118,10 @@ def _supports(spec, num_samples, batch, block_size, window, refetch_every):
   yext = window + 8
   return (spec.ndim[0] == spec.ndim[1] == spec.ndim[2]
           and n % 32 == 0 and n >= _ZEXT and n >= yext
+          # Mosaic HBM slices must be sublane-aligned in the second-minor
+          # dim: the y window extent must be a multiple of 8 (window 8,
+          # 16, 24, ...). Other windows fall back to the XLA tiled marcher.
+          and yext % 8 == 0
           and batch % block_size == 0
           and num_samples % refetch_every == 0
           and block_size % 128 == 0)
@@ -184,7 +206,8 @@ def _so3_refine_t(rp, g, alpha, so3_refs, max_deg):
 
 
 def _march_kernel(refs, *, n, w, yext, block_size, nb, refetch, near,
-                  step_size, nmin, ndelta, use_pred_grad, max_deg, unroll):
+                  step_size, nmin, ndelta, use_pred_grad, max_deg, unroll,
+                  interp_precision):
   if use_pred_grad:
     (origins_ref, dirs_ref, grid_hbm, selmat_ref, alpha_ref,
      w0t, w1t, w2t, w3t, woutt, bstack,
@@ -291,12 +314,12 @@ def _march_kernel(refs, *, n, w, yext, block_size, nb, refetch, near,
       wxyt = axis_w(ix, relx, fx) * axis_w(iy, rely, fy)
       t_zc = jax.lax.dot_general(
           bt_ref[b], wxyt, (((1,), (0,)), ((), ())),
-          precision=_INTERP_PRECISION, preferred_element_type=jnp.float32)
+          precision=interp_precision, preferred_element_type=jnp.float32)
       t_zc = t_zc * axis_w(izc, relz, fz)
       # Stage 2: channel-select matmul -> [4, R].
       vals = jax.lax.dot_general(
           selt, t_zc, (((1,), (0,)), ((), ())),
-          precision=_INTERP_PRECISION, preferred_element_type=jnp.float32)
+          precision=interp_precision, preferred_element_type=jnp.float32)
       t_blocks.append(vals)
 
     nrows = [t_blocks[b][0:1, :] for b in range(nb)]
@@ -346,11 +369,12 @@ def _march_kernel(refs, *, n, w, yext, block_size, nb, refetch, near,
     jax.jit,
     static_argnames=("spec", "num_samples", "near", "step_size",
                      "block_size", "window", "refetch_every", "max_deg",
-                     "unroll", "interpret", "normalize_dirs"))
+                     "unroll", "interpret", "normalize_dirs",
+                     "interp_precision"))
 def _march_pallas_impl(spec, data, origins, directions, near, step_size,
                        num_samples, so3_inputs, block_size, window,
                        refetch_every, max_deg, unroll, interpret,
-                       normalize_dirs=True):
+                       normalize_dirs=True, interp_precision="highest"):
   n = spec.ndim[0]
   w = window
   yext = w + 8
@@ -406,7 +430,8 @@ def _march_pallas_impl(spec, data, origins, directions, near, step_size,
         refs, n=n, w=w, yext=yext, block_size=block_size, nb=nb,
         refetch=refetch_every, near=near, step_size=step_size,
         nmin=spec.nmin, ndelta=spec.ndelta, use_pred_grad=use_pred_grad,
-        max_deg=max_deg, unroll=unroll)
+        max_deg=max_deg, unroll=unroll,
+        interp_precision=_precision(interp_precision))
 
   out, oow = pl.pallas_call(
       wrapped_kernel,
@@ -443,14 +468,17 @@ def _march_pallas_impl(spec, data, origins, directions, near, step_size,
   return pos, dirs, dist, nvals, g, oow[0, 0]
 
 
-_DEFAULT_UNROLL = int(__import__("os").environ.get("MARCH_UNROLL", "1"))
+# MARCH_UNROLL pins the per-window step-loop unroll (Mosaic supports only
+# 1 or full); 0/unset = auto: full unroll when it fits scoped VMEM at the
+# chosen block count (measured ~2% faster end-to-end on v5e), else 1.
+_ENV_UNROLL = int(__import__("os").environ.get("MARCH_UNROLL", "0"))
 
 
 def march_tiled_pallas(spec, data, origins, directions, near, step_size,
                        num_samples, block_size=256, window=8,
                        refetch_every=8, so3_params=None, annealed_alpha=1.0,
-                       max_deg=10, unroll=_DEFAULT_UNROLL, interpret=False,
-                       normalize_dirs=True):
+                       max_deg=10, unroll=None, interpret=False,
+                       normalize_dirs=True, interp_precision=None):
   """Fused-kernel twin of eikonal_tiled.march_tiled (same returns).
 
   Args match march_tiled; instead of a pred_grad_fn closure, the "all"-stage
@@ -466,6 +494,8 @@ def march_tiled_pallas(spec, data, origins, directions, near, step_size,
   so3_inputs = None
   if so3_params is not None:
     so3_inputs = (annealed_alpha, so3_params)
+  if interp_precision is None:
+    interp_precision = _INTERP_PRECISION
   # Mosaic kernels only compile for TPU; on CPU (tests, forced-CPU CLI
   # runs) fall back to the interpreter, which is slow but exact.
   if not interpret and jax.default_backend() != "tpu":
@@ -476,16 +506,34 @@ def march_tiled_pallas(spec, data, origins, directions, near, step_size,
 
   # The kernel's scoped VMEM scales with the block count (see
   # _VMEM_BUDGET_BYTES): split large batches (eval render chunks) into
-  # sequential kernel calls that each fit the budget.
+  # sequential kernel calls that each fit the budget. The split is chosen
+  # at unroll=1 (fewest sequential calls), then the step loop is fully
+  # unrolled only when that is free at the chosen block count — splitting
+  # further to afford unroll would cost more than its ~2% gain.
   batch = origins.shape[0]
   nb_total = batch // block_size
   max_nb = max_blocks_per_call(window, refetch_every, block_size,
                                grid_bytes=data.size * 4)
+  if unroll is None:
+    # Interpret mode keeps unroll=1: XLA CPU's fusion of the unrolled
+    # body varies with the block count, breaking the bit-exact
+    # whole-vs-split guarantee the VMEM-split path relies on.
+    if interpret:
+      unroll = 1
+    elif _ENV_UNROLL:
+      unroll = _ENV_UNROLL
+    else:
+      call_nb = min(nb_total, max_nb)
+      fits_unrolled = call_nb <= max_blocks_per_call(
+          window, refetch_every, block_size, grid_bytes=data.size * 4,
+          unroll=refetch_every, so3=so3_inputs is not None)
+      unroll = refetch_every if fits_unrolled else 1
   if nb_total <= max_nb:
     return _march_pallas_impl(
         spec, data, origins, directions, near, step_size, num_samples,
         so3_inputs, block_size, window, refetch_every, max_deg, unroll,
-        interpret, normalize_dirs=normalize_dirs)
+        interpret, normalize_dirs=normalize_dirs,
+        interp_precision=interp_precision)
 
   parts = []
   oow_total = jnp.int32(0)
@@ -496,7 +544,7 @@ def march_tiled_pallas(spec, data, origins, directions, near, step_size,
         spec, data, origins[start:end], directions[start:end], near,
         step_size, num_samples, so3_inputs, block_size, window,
         refetch_every, max_deg, unroll, interpret,
-        normalize_dirs=normalize_dirs)
+        normalize_dirs=normalize_dirs, interp_precision=interp_precision)
     parts.append((pos, dirs, dist, nvals, g))
     oow_total = oow_total + oow
   stacked = [jnp.concatenate(cols, axis=0) for cols in zip(*parts)]

@@ -56,11 +56,16 @@ def maybe_autocalibrate(model, variables, flags, probe_batches):
 # and the next window size up, keeping w8's speed for scenes whose bundles
 # fit it at the shorter reuse period. Exactness is never relaxed: a
 # candidate is accepted only with ZERO out-of-window clamps on the probes.
+# The fused Pallas kernel only supports window % 8 == 0 (sublane-aligned
+# y extent; march_kernel._supports) — intermediate windows would silently
+# fall back to the slower XLA tiled marcher, so the pallas ladder skips
+# them.
 CANDIDATES = ((8, 8), (8, 4), (10, 8), (12, 8), (12, 4), (16, 8), (16, 4),
               (20, 8), (24, 8), (24, 4))
+CANDIDATES_PALLAS = ((8, 8), (8, 4), (16, 8), (16, 4), (24, 8), (24, 4))
 
 
-def calibrate_march_window(model, variables, batches, candidates=CANDIDATES,
+def calibrate_march_window(model, variables, batches, candidates=None,
                            annealed_alpha=1.0):
   """Pick the fastest (window, refetch) with zero violations on probes.
 
@@ -75,6 +80,9 @@ def calibrate_march_window(model, variables, batches, candidates=CANDIDATES,
     ((window, refetch), per_candidate_oow dict). Falls back to the last
     candidate (with its violation count) if none is clean.
   """
+  if candidates is None:
+    candidates = (CANDIDATES_PALLAS if model.march_mode == "pallas"
+                  else CANDIDATES)
   batches = list(batches)
   results = {}
   for window, refetch in candidates:
@@ -96,11 +104,26 @@ def calibrate_march_window(model, variables, batches, candidates=CANDIDATES,
       return oow
 
     total = 0
-    for batch in batches:
-      rays = batch["rays"]
-      total += int(probe(variables, np.asarray(rays.origins),
-                         np.asarray(rays.viewdirs)))
+    try:
+      for batch in batches:
+        rays = batch["rays"]
+        total += int(probe(variables, np.asarray(rays.origins),
+                           np.asarray(rays.viewdirs)))
+    except jax.errors.JaxRuntimeError as e:
+      # A candidate that fails to COMPILE (e.g. a window whose scoped-VMEM
+      # footprint exceeds the Mosaic stack at this grid scale) is
+      # infeasible, not fatal: record it and move down the ladder.
+      print(f"march window calibration: ({window}, {refetch}) failed to "
+            f"compile, skipping: {str(e).splitlines()[0][:120]}")
+      results[(window, refetch)] = None
+      continue
     results[(window, refetch)] = total
     if total == 0:
       return (window, refetch), results
+  # No clean candidate: fall back to the compilable one with the fewest
+  # clamps (ties -> latest probed, i.e. the widest window).
+  compiled = [(cand, oow) for cand, oow in results.items() if oow is not None]
+  if compiled:
+    best = min(reversed(compiled), key=lambda kv: kv[1])[0]
+    return best, results
   return candidates[-1], results

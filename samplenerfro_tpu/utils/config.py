@@ -206,6 +206,11 @@ def define_flags():
                        "on probe batches.")
   flags.DEFINE_integer("march_refetch", 8,
                        "steps between window refetches in the tiled marcher.")
+  flags.DEFINE_enum("march_interp", "highest", ["highest", "high"],
+                    "fused-march interpolation matmul precision: highest "
+                    "is fp32-exact (bit-parity with the XLA marchers), "
+                    "high (bf16x3) halves the per-step contraction cost "
+                    "(quality-gate via scripts/validate_quality.py).")
   flags.DEFINE_enum("march_bwd_dtype", "float32", ["float32", "bfloat16"],
                     "compute dtype of the 'all'-stage analytic reverse "
                     "sweep's batched Jacobian/parameter passes "

@@ -78,6 +78,16 @@ def main():
                  help="enable mip IPE featurization (NerfModel.use_ipe)")
   p.add_argument("--mlp_dtype", default="float32",
                  choices=["float32", "bfloat16"])
+  p.add_argument("--all_steps", type=int, default=0,
+                 help="after the radiance stage, seed the joint-refinement "
+                 "('all') stage from its checkpoint and train this many "
+                 "more steps (reports both PSNRs)")
+  p.add_argument("--march_bwd_dtype", default="float32",
+                 choices=["float32", "bfloat16"],
+                 help="all-stage reverse-sweep dtype (ops/eikonal_vjp.py)")
+  p.add_argument("--march_interp", default="highest",
+                 choices=["highest", "high"],
+                 help="fused-march interpolation precision (A/B knob)")
   args = p.parse_args()
   march_mode = args.march_mode or (
       "tiled" if args.batching == "tile" else "scan")
@@ -94,6 +104,8 @@ def main():
     tag += "_ipe"
   if args.mlp_dtype != "float32":
     tag += f"_{args.mlp_dtype}"
+  if args.march_interp != "highest":
+    tag += f"_interp-{args.march_interp}"
   cfg_base = os.path.join(args.workdir, f"cfg_{tag}")
   with open(cfg_base + ".yaml", "w") as f:
     f.write(CONFIG_YAML.format(batching=args.batching, steps=args.steps,
@@ -116,7 +128,8 @@ def main():
     cmd = [sys.executable, os.path.join(REPO, script),
            f"--data_dir={data_dir}", f"--train_dir={train_dir}",
            f"--config={cfg_base}", f"--gin_file={cfg_base}.gin",
-           f"--stage={stage}"] + extra
+           f"--stage={stage}",
+           f"--march_interp={args.march_interp}"] + extra
     print("running", cmd_name, "...")
     proc = subprocess.run(cmd, env=env, cwd=REPO)
     if proc.returncode != 0:
@@ -124,6 +137,37 @@ def main():
 
   psnr_file = os.path.join(train_dir, stage, "test_preds", "psnr.txt")
   print(f"RESULT {tag}: PSNR = {open(psnr_file).read()}")
+
+  if args.all_steps > 0:
+    # Joint-refinement stage, seeded from the radiance checkpoint (the
+    # staged-training flow: copy the radiance stage dir so the all stage
+    # resumes from its params; max_steps extends past the radiance budget).
+    import shutil
+    all_stage = "all_quality"
+    all_dir = os.path.join(train_dir, all_stage)
+    if not os.path.exists(all_dir):
+      shutil.copytree(os.path.join(train_dir, stage), all_dir)
+      shutil.rmtree(os.path.join(all_dir, "test_preds"), ignore_errors=True)
+    total = args.steps + args.all_steps
+    for cmd_name, script, extra in (
+        ("train(all)", "train.py", []),
+        ("eval(all)", "eval.py",
+         [f"--gin_param=Config.all_weight_name='{all_stage}'",
+          "--eval_once=True"])):
+      cmd = [sys.executable, os.path.join(REPO, script),
+             f"--data_dir={data_dir}", f"--train_dir={train_dir}",
+             f"--config={cfg_base}", f"--gin_file={cfg_base}.gin",
+             f"--stage={all_stage}", f"--max_steps={total}",
+             f"--save_every={total}",
+             f"--march_interp={args.march_interp}",
+             f"--march_bwd_dtype={args.march_bwd_dtype}"] + extra
+      print("running", cmd_name, "...")
+      proc = subprocess.run(cmd, env=env, cwd=REPO)
+      if proc.returncode != 0:
+        raise SystemExit(f"{cmd_name} failed")
+    psnr_file = os.path.join(train_dir, all_stage, "test_preds", "psnr.txt")
+    print(f"RESULT {tag} all-stage(+{args.all_steps}): "
+          f"PSNR = {open(psnr_file).read()}")
 
 
 if __name__ == "__main__":

@@ -160,3 +160,42 @@ def test_pallas_march_vmem_split_exact(monkeypatch):
     np.testing.assert_allclose(np.array(a), np.array(b), atol=0,
                                err_msg=name)
   assert int(whole[5]) == int(split[5])
+
+
+def test_unroll_vmem_model_ground_truth():
+  """The unroll-aware VMEM model reproduces compile-probe ground truth.
+
+  Measured on one v5e at 512^3 (grid not VMEM-resident), nb=4, R=256:
+  w8/w16 compile at full unroll; w24 exceeds the 16 MB Mosaic stack at
+  both r8 (17.99 MB) and r4. The auto policy takes full unroll only when
+  it is free at the block count chosen at unroll=1.
+  """
+  gb = 512 * 512 * 2048 * 4
+  for w, r, fits_full in ((8, 8, True), (8, 4, True), (16, 8, True),
+                          (16, 4, True), (24, 8, False), (24, 4, False)):
+    cap = march_kernel.max_blocks_per_call(w, r, 256, gb, unroll=r)
+    assert (4 <= cap) == fits_full, (w, r, cap)
+  # Eval-sized calls (block count chosen at unroll=1) never take full
+  # unroll at w16: the u1 split admits 12 blocks, full unroll only 4.
+  assert march_kernel.max_blocks_per_call(16, 8, 256, gb) >= 12
+  # The so3 (all-stage) path is charged extra per unrolled step.
+  assert march_kernel.max_blocks_per_call(8, 8, 256, gb, unroll=8,
+                                          so3=True) < 4
+
+
+def test_pallas_march_interp_precision_plumbing():
+  """march_interp="high" runs the kernel (CPU interpret: same numerics)."""
+  spec, data = _setup()
+  o, d = _pencil()
+  S, near = 32, 2.0
+  h = 4.0 / (S - 1)
+  exact = march_kernel.march_tiled_pallas(
+      spec, data, o, d, near, h, S, block_size=16, window=16,
+      refetch_every=8, interpret=True)
+  fast = march_kernel.march_tiled_pallas(
+      spec, data, o, d, near, h, S, block_size=16, window=16,
+      refetch_every=8, interpret=True, interp_precision="high")
+  for name, a, b in zip(("pos", "dir", "dist", "n", "g"), exact[:5],
+                        fast[:5]):
+    np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-3,
+                               err_msg=name)
