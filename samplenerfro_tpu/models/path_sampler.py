@@ -74,10 +74,12 @@ class PathSampler(nn.Module):
   march_window: int = 16
   march_refetch: int = 8
   # Fused-kernel interpolation matmul precision: "highest" is fp32-exact
-  # (bit-parity with the XLA marchers); "high" (bf16x3) halves the
-  # per-step one-hot contraction cost — the march's dominant FLOPs — at a
-  # small trajectory perturbation (quality-gated on the synthetic
-  # exact-GT scene, scripts/validate_quality.py).
+  # (bit-parity with the XLA marchers; native fp32 ~20 TF/s on v5e);
+  # "default" (single-pass bf16, ~43 TF/s) more than halves the per-step
+  # one-hot contraction cost — the march's dominant FLOPs — at a small
+  # trajectory perturbation (quality-gated on the synthetic exact-GT
+  # scene, scripts/validate_quality.py); "high" (bf16x3) is slower than
+  # fp32 on v5e, kept for ablation.
   march_interp: str = "highest"
   # Reverse-sweep Jacobian/param-pass dtype for the differentiable "all"
   # stage (ops/eikonal_vjp.py): float32 matches autodiff exactly;
@@ -196,7 +198,8 @@ class PathSampler(nn.Module):
           self.tile_block, self.march_window, self.march_refetch,
           (self.min_deg_point, self.max_deg_point, self.annealed,
            self.use_residual, self.use_direct_output, self.normalized),
-          self.march_mode, bwd_dtype=self.march_bwd_dtype)
+          self.march_mode, bwd_dtype=self.march_bwd_dtype,
+          fwd_interp=self.march_interp)
       pos, dirs, dist, n, g, oow = march(
           self.grid3d.value, origins, directions,
           jnp.asarray(annealed_alpha, jnp.float32), so3_params)

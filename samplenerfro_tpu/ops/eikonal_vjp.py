@@ -92,7 +92,8 @@ def make_so3_apply(min_deg, max_deg, annealed, use_residual,
 
 def make_march_allstage(spec, near, step_size, num_samples, block_size,
                         window, refetch_every, so3_key, fwd_mode,
-                        bwd_dtype="float32", bwd_impl=None):
+                        bwd_dtype="float32", bwd_impl=None,
+                        fwd_interp="highest"):
   """Build the custom-vjp all-stage marcher (cached per configuration).
 
   bwd_impl selects the reverse-sweep implementation: "stepvjp" (the
@@ -104,13 +105,14 @@ def make_march_allstage(spec, near, step_size, num_samples, block_size,
     bwd_impl = os.environ.get("EIKVJP_IMPL", "stepvjp")
   return _make_march_allstage(spec, near, step_size, num_samples,
                               block_size, window, refetch_every, so3_key,
-                              fwd_mode, bwd_dtype, bwd_impl)
+                              fwd_mode, bwd_dtype, bwd_impl, fwd_interp)
 
 
 @functools.lru_cache(maxsize=None)
 def _make_march_allstage(spec, near, step_size, num_samples, block_size,
                          window, refetch_every, so3_key, fwd_mode,
-                         bwd_dtype="float32", bwd_impl="stepvjp"):
+                         bwd_dtype="float32", bwd_impl="stepvjp",
+                         fwd_interp="highest"):
   """Build the custom-vjp all-stage marcher for one static configuration.
 
   Args (all static/hashable):
@@ -152,7 +154,8 @@ def _make_march_allstage(spec, near, step_size, num_samples, block_size,
           spec, data3d, origins, directions, near, step_size, num_samples,
           block_size=block_size, window=window,
           refetch_every=refetch_every, so3_params=so3_params,
-          annealed_alpha=alpha, max_deg=max_deg, normalize_dirs=False)
+          annealed_alpha=alpha, max_deg=max_deg, normalize_dirs=False,
+          interp_precision=fwd_interp)
     pred = lambda rp, g: so3_apply(so3_params, alpha, rp, g)
     return eikt.march_tiled(
         spec, data3d, origins, directions, near, step_size, num_samples,

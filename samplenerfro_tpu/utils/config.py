@@ -206,11 +206,14 @@ def define_flags():
                        "on probe batches.")
   flags.DEFINE_integer("march_refetch", 8,
                        "steps between window refetches in the tiled marcher.")
-  flags.DEFINE_enum("march_interp", "highest", ["highest", "high"],
+  flags.DEFINE_enum("march_interp", "highest", ["highest", "high",
+                                                 "default"],
                     "fused-march interpolation matmul precision: highest "
-                    "is fp32-exact (bit-parity with the XLA marchers), "
-                    "high (bf16x3) halves the per-step contraction cost "
-                    "(quality-gate via scripts/validate_quality.py).")
+                    "is fp32-exact (bit-parity with the XLA marchers; "
+                    "native fp32 on v5e, ~20 TF/s), high is bf16x3 "
+                    "(~14 TF/s - slower than fp32 on v5e, kept for "
+                    "ablation), default is single-pass bf16 (~43 TF/s, "
+                    "2.15x; quality-gate via validate_quality.py).")
   flags.DEFINE_enum("march_bwd_dtype", "float32", ["float32", "bfloat16"],
                     "compute dtype of the 'all'-stage analytic reverse "
                     "sweep's batched Jacobian/parameter passes "
@@ -244,7 +247,14 @@ def update_flags(args):
   invalid_args = list(set(configs.keys()) - set(dir(args)))
   if invalid_args:
     raise ValueError(f"Invalid args {invalid_args} in {pth}.")
-  args.__dict__.update(configs)
+  # setattr (NOT args.__dict__.update): on absl FlagValues a __dict__
+  # write creates an instance attribute that permanently SHADOWS the
+  # flag — later `FLAGS.key = value` assignments update the flag but
+  # reads keep returning the stale yaml value (this silently broke the
+  # march-window fallback ladder and --march_window=0 auto-calibration
+  # for yaml-configured keys).
+  for k, v in configs.items():
+    setattr(args, k, v)
 
 
 def load_config(flag_values=None):

@@ -86,7 +86,7 @@ def main():
                  choices=["float32", "bfloat16"],
                  help="all-stage reverse-sweep dtype (ops/eikonal_vjp.py)")
   p.add_argument("--march_interp", default="highest",
-                 choices=["highest", "high"],
+                 choices=["highest", "high", "default"],
                  help="fused-march interpolation precision (A/B knob)")
   args = p.parse_args()
   march_mode = args.march_mode or (

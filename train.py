@@ -189,8 +189,14 @@ def main(unused_argv):
       oow = int(np.sum(jax.device_get(oow_trace)))
       oow_trace = []
       if oow > 0:
+        # The LIVE model is the source of truth for the ladder state (a
+        # yaml-configured flag used to shadow FLAGS assignments, which
+        # made the ladder ping-pong between the same two rungs).
+        cur_window = train_model.march_window
+        cur_refetch = train_model.march_refetch
         msg = (f"steps {first_step}..{step}: tiled marcher clamped {oow} "
-               f"out-of-window interpolations (window={FLAGS.march_window})")
+               f"out-of-window interpolations (window={cur_window}, "
+               f"refetch={cur_refetch})")
         if FLAGS.march_oow_action == "fail":
           raise RuntimeError(
               msg + "; rerun with a larger --march_window, "
@@ -198,27 +204,27 @@ def main(unused_argv):
         if FLAGS.march_oow_action == "fallback":
           # Step DOWN the marcher ladder instead of cliff-dropping to the
           # 3x-slower scan: first halve the window reuse period (halves
-          # the drift the margin must cover), then widen the window, and
-          # only past the largest window fall back to the exact scan.
-          if FLAGS.march_refetch > 4:
-            FLAGS.march_refetch //= 2
+          # the drift the margin must cover), then widen the window (which
+          # resets the reuse period), and only past the largest window
+          # fall back to the exact scan.
+          if cur_refetch > 4:
+            cur_refetch //= 2
             print("WARNING: " + msg + "; halving --march_refetch to "
-                  f"{FLAGS.march_refetch} (drift per window reuse halves).")
-            train_model = train_model.clone(
-                march_refetch=FLAGS.march_refetch)
-          elif FLAGS.march_window < 32:
-            FLAGS.march_window = min(32, FLAGS.march_window + 8)
-            FLAGS.march_refetch = 8
+                  f"{cur_refetch} (drift per window reuse halves).")
+            train_model = train_model.clone(march_refetch=cur_refetch)
+          elif cur_window < 32:
+            cur_window = min(32, cur_window + 8)
             print("WARNING: " + msg + "; widening --march_window to "
-                  f"{FLAGS.march_window}.")
-            train_model = train_model.clone(
-                march_window=FLAGS.march_window,
-                march_refetch=FLAGS.march_refetch)
+                  f"{cur_window}.")
+            train_model = train_model.clone(march_window=cur_window,
+                                            march_refetch=8)
           else:
             print("WARNING: " + msg + "; falling back to the exact scan "
                   "marcher for the rest of training.")
             train_model = train_model.clone(march_mode="scan")
             tiled_training = False
+          FLAGS.march_window = train_model.march_window
+          FLAGS.march_refetch = train_model.march_refetch
           train_pstep = step_lib.make_train_step(train_model, FLAGS,
                                                  grid_vars)
         else:
