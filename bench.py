@@ -276,8 +276,14 @@ def production_args(stage="radiance_bench", window=None, **over):
   # (see ops/eikonal_vjp.py); BENCH_MARCH_BWD_DTYPE=float32 for the
   # autodiff-exact configuration.
   march_bwd_dtype = os.environ.get("BENCH_MARCH_BWD_DTYPE", "bfloat16")
-  # Fused-march interpolation precision (A/B knob; "highest" = fp32-exact).
-  march_interp = os.environ.get("BENCH_MARCH_INTERP", "highest")
+  # Fused-march interpolation precision. Production (configs/tpu/) ships
+  # "default" (single-pass bf16: +45% at the 512^3 flagship, quality-
+  # neutral on the exact-GT scene); BENCH_MARCH_INTERP=highest measures
+  # the fp32-exact configuration.
+  march_interp = os.environ.get(
+      "BENCH_MARCH_INTERP", "float32" if march_mode == "scan" else "default")
+  if march_interp == "float32":
+    march_interp = "highest"
   refetch = int(os.environ.get("BENCH_MARCH_REFETCH", "8"))
   over = {"march_refetch": refetch, "march_bwd_dtype": march_bwd_dtype,
           "march_interp": march_interp, **over}
@@ -297,7 +303,14 @@ def main():
     check_window = int(os.environ.get("BENCH_MARCH_WINDOW", "0")) or 16
     deviations = selfcheck.check_march(window=check_window)
     record["check"] = "ok"
-    record["check_max_dev"] = round(max(deviations.values()), 8)
+    record["check_max_dev"] = round(
+        max(v for k, v in deviations.items() if "bf16" not in k), 8)
+    bf16_devs = [v for k, v in deviations.items() if "bf16" in k]
+    if bf16_devs:
+      # The production bf16-interp forward is gated against a LOOSE
+      # envelope of the exact scan path (selfcheck.py); its deviation is
+      # reported separately so the exact-path parity number stays tight.
+      record["check_bf16_max_dev"] = round(max(bf16_devs), 8)
   else:
     record["check"] = "skipped"
 
@@ -362,6 +375,7 @@ def main():
       "vs_parity_scan_tpu": round(value / parity, 3),
       "parity_provenance": parity_prov,
       "march_mode": args.march_mode,
+      "march_interp": args.march_interp,
       "mlp_dtype": args.mlp_dtype,
       "mlp_kernel": args.mlp_kernel,
       "stage": args.stage,

@@ -110,6 +110,22 @@ def check_march(grid_n=128, window=16, refetch=8, num_samples=768,
     for name, a, b in zip(("pos", "dirs", "dist", "n", "g"), scan_out, out):
       _assert_close(f"fwd_{tag}_{name}", a, b, fwd_atol, deviations)
 
+  # --- Forward, production bf16 interp (march_interp="default") ------------
+  # The bf16 single-pass interpolation perturbs each step's interpolated
+  # (n, g) by ~2^-8 relative; integrated over the march the trajectory
+  # stays within a loose envelope of the exact path. A broken kernel
+  # (wrong windows, garbage weights) lands orders of magnitude outside it.
+  if march_kernel.supports(spec, num_samples, batch, block_size, window,
+                           refetch):
+    bf16_out = march_kernel.march_tiled_pallas(
+        spec, data3d, o, d, near, h, num_samples, block_size=block_size,
+        window=window, refetch_every=refetch, interp_precision="default")
+    assert int(bf16_out[5]) == 0, (
+        "pallas bf16-interp kernel reported window violations")
+    for name, a, b in zip(("pos", "dirs", "dist", "n", "g"), scan_out,
+                          bf16_out[:5]):
+      _assert_close(f"fwd_pallas_bf16_{name}", a, b, 0.05, deviations)
+
   # --- Backward ("all" stage): analytic reverse sweep vs autodiff ----------
   s_grad = grad_samples
   in_dim = 2 * 3 * SO3_KEY[1]

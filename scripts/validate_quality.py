@@ -42,7 +42,7 @@ bg_weight: 0.025
 bg_smooth_weight: 1.0
 bg_patch_size: 64
 anneal_delay_steps: 500
-anneal_max_steps: 2000
+anneal_max_steps: {anneal_max}
 net_depth: 8
 net_width: 256
 chunk: 8192
@@ -108,9 +108,14 @@ def main():
     tag += f"_interp-{args.march_interp}"
   cfg_base = os.path.join(args.workdir, f"cfg_{tag}")
   with open(cfg_base + ".yaml", "w") as f:
+    # Annealing window scales with the budget (the reference anneals over
+    # 80% of its 200k-step run); <=2k-step runs keep the round-1/2 anchor
+    # schedule for comparability.
+    anneal_max = max(2000, int(0.8 * args.steps))
     f.write(CONFIG_YAML.format(batching=args.batching, steps=args.steps,
                                march_mode=march_mode,
-                               march_window=args.march_window))
+                               march_window=args.march_window,
+                               anneal_max=anneal_max))
     f.write(f"mlp_dtype: {args.mlp_dtype}\n")
   with open(cfg_base + ".gin", "w") as f:
     f.write(GIN)
