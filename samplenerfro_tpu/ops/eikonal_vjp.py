@@ -48,6 +48,7 @@ from samplenerfro_tpu.ops import eikonal as eik_ops
 from samplenerfro_tpu.ops import eikonal_tiled as eikt
 from samplenerfro_tpu.ops import math as math_ops
 from samplenerfro_tpu.ops import mlp as fmlp
+from samplenerfro_tpu.ops.pallas import march_bwd_kernel
 from samplenerfro_tpu.ops.pallas import march_kernel
 
 _HI = jax.lax.Precision.HIGHEST
@@ -543,5 +544,35 @@ def _make_march_allstage(spec, near, step_size, num_samples, block_size,
     return (jnp.zeros_like(data3d), origins_bar, directions_bar, alphabar,
             thetabar)
 
-  march.defvjp(fwd, bwd_stepvjp if bwd_impl == "stepvjp" else bwd)
+  def bwd_pallas(res, cts):
+    """Fused-kernel reverse sweep (ops/pallas/march_bwd_kernel.py).
+
+    Same step adjoints as bwd_stepvjp, fused into one Mosaic kernel that
+    streams the stored trajectory in reverse — no XLA pass ever walks the
+    [batch, S, ...] arrays (their ~15-20 ms-per-pass relayout floor is
+    what bounds both XLA formulations on v5e). Falls back to the stepvjp
+    sweep when the configuration is outside the kernel's support.
+    """
+    data3d, alpha, so3_params, pos, dirs_raw, nvals, g = res
+    if not (pallas_so3_ok and march_bwd_kernel.supports(
+        spec, num_samples, pos.shape[0], block_size, window,
+        refetch_every)):
+      return bwd_stepvjp(res, cts)
+    dpos, ddirs, ddist, dn, dg, _doow = cts
+    _, norm_vjp = jax.vjp(math_ops.safe_l2_normalize, dirs_raw)
+    ddirs_raw = norm_vjp(ddirs)[0]
+    revcum = jnp.cumsum(ddist[:, ::-1], axis=-1)[:, ::-1]
+    segbar = jnp.concatenate(
+        [revcum[:, 1:], jnp.zeros_like(revcum[:, :1])], axis=-1)
+    origins_bar, directions_bar, alphabar, thetabar = (
+        march_bwd_kernel.march_bwd_pallas(
+            spec, data3d, pos, dirs_raw, nvals, g, dpos, ddirs_raw, dn, dg,
+            segbar, so3_params, alpha, near, h, block_size, w,
+            refetch_every, max_deg,
+            interp_precision=("highest" if exact_bwd else "default")))
+    return (jnp.zeros_like(data3d), origins_bar, directions_bar, alphabar,
+            thetabar)
+
+  march.defvjp(fwd, {"stepvjp": bwd_stepvjp, "passes": bwd,
+                     "pallas": bwd_pallas}[bwd_impl])
   return march

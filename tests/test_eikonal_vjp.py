@@ -180,3 +180,77 @@ def test_allstage_march_vjp_bf16_mode():
   a, b = flat(g32[0]), flat(g16[0])
   cos = (a @ b) / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-12)
   assert cos >= 0.999, f"origins grad direction: cos {cos:.6f}"
+
+
+@pytest.mark.parametrize("nblocks", [1, 2])
+def test_allstage_march_vjp_pallas_kernel(nblocks):
+  """Fused Pallas reverse sweep (interpret mode) vs jax autodiff.
+
+  The kernel needs full 128-lane blocks (march_bwd_kernel.supports);
+  bwd_impl="pallas" silently falls back to stepvjp otherwise, so this
+  test uses a kernel-shaped configuration. nblocks=2 exercises the
+  lane-concatenated so3 passes and per-block windows.
+  """
+  spec, data3d, _, _, so3, cfg = _setup(
+      n=64, nrays=32, block=16, S=16, refetch=4, window=16)
+  cfg["block_size"] = 128
+  # _setup scales h to cover [near, far] in S steps; at S=16 that drifts
+  # ~22 z-cells per reuse period, past the reference cube window's w-2
+  # coverage. Pin the S=32 step size instead (the march just ends sooner).
+  cfg["step_size"] = 4.0 / 31
+  # One coherent 128-ray pencil (kernel-shaped block).
+  d = np.array([[0.0008 * (i % 16), 0.0005 * (i // 16), 1.0]
+                for i in range(128)], np.float32)
+  d /= np.linalg.norm(d, axis=-1, keepdims=True)
+  o = np.broadcast_to(np.array([0, 0, -4.0], np.float32), d.shape).copy()
+  if nblocks == 2:
+    o2 = o + np.array([0.6, -0.35, 0.0], np.float32)
+    o = np.concatenate([o, o2], axis=0)
+    d = np.concatenate([d, d], axis=0)
+  o, d = jnp.asarray(o), jnp.asarray(d)
+  nrays = o.shape[0]
+
+  alpha = jnp.float32(0.6)
+  rng = np.random.RandomState(1)
+  S = cfg["num_samples"]
+  weights = (jnp.asarray(rng.randn(nrays, S, 3), jnp.float32),
+             jnp.asarray(rng.randn(nrays, S, 3), jnp.float32),
+             jnp.asarray(rng.randn(nrays, S), jnp.float32),
+             jnp.asarray(rng.randn(nrays, S, 1), jnp.float32),
+             jnp.asarray(rng.randn(nrays, S, 3), jnp.float32))
+
+  march = eikonal_vjp.make_march_allstage(
+      spec, cfg["near"], cfg["step_size"], cfg["num_samples"],
+      cfg["block_size"], cfg["window"], cfg["refetch_every"],
+      SO3_KEY, "tiled", bwd_impl="pallas")
+  from samplenerfro_tpu.ops.pallas import march_bwd_kernel
+  assert march_bwd_kernel.supports(
+      spec, cfg["num_samples"], nrays, cfg["block_size"], cfg["window"],
+      cfg["refetch_every"])
+
+  def loss_ref(o_, d_, al_, th_):
+    return _loss_of(_autodiff_march(spec, cfg, data3d, o_, d_, al_, th_),
+                    weights)
+
+  def loss_new(o_, d_, al_, th_):
+    return _loss_of(march(data3d, o_, d_, al_, th_), weights)
+
+  out_ref = _autodiff_march(spec, cfg, data3d, o, d, alpha, so3)
+  assert int(out_ref[5]) == 0, "window violations in the test setup"
+
+  val_ref, grads_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3))(
+      o, d, alpha, so3)
+  val_new, grads_new = jax.value_and_grad(loss_new, argnums=(0, 1, 2, 3))(
+      o, d, alpha, so3)
+  np.testing.assert_allclose(float(val_ref), float(val_new), rtol=1e-6)
+
+  names = ("origins", "directions", "alpha", "so3")
+  for name, gr, gn in zip(names, grads_ref, grads_new):
+    ref_leaves = jax.tree_util.tree_leaves_with_path(gr)
+    new_leaves = dict(jax.tree_util.tree_leaves_with_path(gn))
+    for path, leaf in ref_leaves:
+      got = new_leaves[path]
+      scale = np.maximum(np.abs(np.asarray(leaf)).max(), 1e-3)
+      np.testing.assert_allclose(
+          np.asarray(got), np.asarray(leaf), atol=2e-4 * scale, rtol=2e-3,
+          err_msg=f"{name}{jax.tree_util.keystr(path)}")
