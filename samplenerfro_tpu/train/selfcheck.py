@@ -155,21 +155,27 @@ def check_march(grid_n=128, window=16, refetch=8, num_samples=768,
         window=window, refetch_every=refetch, pred_grad_fn=pred,
         use_pred_grad=True))
 
-  march_all = eikonal_vjp.make_march_allstage(
-      spec, near, h, s_grad, block_size, window, refetch, SO3_KEY, "pallas")
-
-  def loss_new(o_, d_, al_, th_):
-    return loss_of(march_all(data3d, o_, d_, al_, th_))
-
   val_ref, grads_ref = jax.jit(jax.value_and_grad(
       loss_ref, argnums=(0, 1, 2, 3)))(og, dg, alpha, so3)
-  val_new, grads_new = jax.jit(jax.value_and_grad(
-      loss_new, argnums=(0, 1, 2, 3)))(og, dg, alpha, so3)
-  _assert_close("allstage_loss", val_ref, val_new, 1e-4, deviations)
-  for name, gr, gn in zip(("origins", "directions", "alpha", "so3"),
-                          grads_ref, grads_new):
-    new_leaves = dict(jax.tree_util.tree_leaves_with_path(gn))
-    for path, leaf in jax.tree_util.tree_leaves_with_path(gr):
-      _assert_close(f"grad_{name}{jax.tree_util.keystr(path)}", leaf,
-                    new_leaves[path], grad_atol, deviations)
+
+  # Both production reverse-sweep implementations are gated: the per-step
+  # adjoint scan and the fused Pallas reverse kernel.
+  for impl in ("stepvjp", "pallas"):
+    march_all = eikonal_vjp.make_march_allstage(
+        spec, near, h, s_grad, block_size, window, refetch, SO3_KEY,
+        "pallas", bwd_impl=impl)
+
+    def loss_new(o_, d_, al_, th_, march_all=march_all):
+      return loss_of(march_all(data3d, o_, d_, al_, th_))
+
+    val_new, grads_new = jax.jit(jax.value_and_grad(
+        loss_new, argnums=(0, 1, 2, 3)))(og, dg, alpha, so3)
+    _assert_close(f"allstage_{impl}_loss", val_ref, val_new, 1e-4,
+                  deviations)
+    for name, gr, gn in zip(("origins", "directions", "alpha", "so3"),
+                            grads_ref, grads_new):
+      new_leaves = dict(jax.tree_util.tree_leaves_with_path(gn))
+      for path, leaf in jax.tree_util.tree_leaves_with_path(gr):
+        _assert_close(f"grad_{impl}_{name}{jax.tree_util.keystr(path)}",
+                      leaf, new_leaves[path], grad_atol, deviations)
   return deviations

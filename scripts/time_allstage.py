@@ -48,6 +48,9 @@ def main():
   p.add_argument("--block", type=int, default=256)
   p.add_argument("--fwd_mode", default="pallas")
   p.add_argument("--bwd_dtype", default="float32")
+  p.add_argument("--bwd_impl", default=None,
+                 help="stepvjp | passes | pallas (None -> $EIKVJP_IMPL)")
+  p.add_argument("--fwd_interp", default="highest")
   args = p.parse_args()
 
   spec = grid_ops.GridSpec([args.grid_n] * 3, [-1.5] * 3, [1.5] * 3)
@@ -61,7 +64,8 @@ def main():
 
   march = eikonal_vjp.make_march_allstage(
       spec, near, h, args.samples, args.block, args.window, args.refetch,
-      selfcheck.SO3_KEY, args.fwd_mode, bwd_dtype=args.bwd_dtype)
+      selfcheck.SO3_KEY, args.fwd_mode, bwd_dtype=args.bwd_dtype,
+      bwd_impl=args.bwd_impl, fwd_interp=args.fwd_interp)
 
   def fwd_body(oo):
     pos, dirs, dist, nv, g, oow = march(data3d, oo, d, alpha, so3)
