@@ -24,11 +24,12 @@ Key layout choices:
     (brick2d [wy, zc] @ (z-weights * vbar) [zc, R]) plus VPU one-hot
     builds and sublane reductions — the [R, w^3] weight tensor never
     exists (same trick as the forward).
-  - The so3 MLP recompute + backward runs once per step with all ray
-    blocks CONCATENATED ALONG LANES ([ch, nb*R]), so each layer is one
-    MXU matmul; parameter gradients accumulate into revisited output
-    blocks (lane-contraction outer products), bias/alpha gradients
-    accumulate as [*, R] rows and reduce over lanes once at the end.
+  - The so3 MLP recompute + backward runs per ray block in the forward
+    kernel's transposed layout (sublane concats only — Mosaic rejects
+    lane-dim concatenation at nb > 1); parameter gradients accumulate
+    into revisited output blocks (lane-contraction outer products),
+    bias/alpha gradients accumulate as [*, R] rows and reduce over lanes
+    once at the end.
   - Window placement recomputes a bounding box over the window's STORED
     positions (strictly tighter than the forward's predictive placement;
     any window containing the stencil yields the identical adjoint).
@@ -246,22 +247,13 @@ def _bwd_kernel(*refs, n, w, yext, block_size, nb, refetch, step_size,
     dn_b = [c[7:8] for c in cstep]
     dg_b = [c[8:11] for c in cstep]
 
-    # ---- so3 head: recompute + adjoint, blocks concatenated on lanes ----
+    # ---- so3 head: recompute + adjoint, per ray block (the forward's
+    # layout discipline: sublane concats only — Mosaic rejects the
+    # lane-concatenated variant at nb > 1) ----
     ubar_b = [h * dbar_all[3 * b:3 * b + 3, :] for b in range(nb)]
     mask_b = [
         (jnp.sqrt(jnp.sum(g_b[b]**2, axis=0, keepdims=True)) > 1e-3)
         .astype(jnp.float32) for b in range(nb)]
-    p_cat = jnp.concatenate(p_b, axis=1)        # [3, nb*R]
-    g_cat = jnp.concatenate(g_b, axis=1)
-    ub_cat = jnp.concatenate(
-        [ubar_b[b] * mask_b[b] for b in range(nb)], axis=1)
-
-    x_cat, pe_caches = _pe_rows(p_cat, alpha, max_deg)
-    raw_cat, acts = _mlp_fwd_t(x_cat, wts_t, bstack)
-    rawbar, g_so3_cat = _rodrigues_bwd(raw_cat, g_cat, ub_cat)
-
-    # MLP backward: dh chains + parameter-gradient accumulation.
-    x_c, h1, h2, h3, hc, h4 = acts
     hi = jax.lax.Precision.HIGHEST
 
     def matm(wmat, hh):  # [in, out] @ [out, M] -> [in, M]
@@ -274,45 +266,48 @@ def _bwd_kernel(*refs, n, w, yext, block_size, nb, refetch, step_size,
                                  precision=interp_precision,
                                  preferred_element_type=jnp.float32)
 
-    width = h1.shape[0]
-    dh4 = matm(wout[:], rawbar) * (h4 > 0)
-    dhc = matm(w3[:], dh4)
-    dh3 = dhc[0:width] * (h3 > 0)
-    dx_skip = dhc[width:]
-    dh2 = matm(w2[:], dh3) * (h2 > 0)
-    dh1 = matm(w1[:], dh2) * (h1 > 0)
-    dx = matm(w0[:], dh1) + dx_skip
+    p_so3_b, g_so3_b = [], []
+    for b in range(nb):
+      x_c, pe_caches = _pe_rows(p_b[b], alpha, max_deg)
+      raw, acts = _mlp_fwd_t(x_c, wts_t, bstack)
+      rawbar, g_so3 = _rodrigues_bwd(raw, g_b[b], ubar_b[b] * mask_b[b])
+      _, h1, h2, h3, hc, h4 = acts
 
-    dw0t_o[...] += outer(dh1, x_c)
-    dw1t_o[...] += outer(dh2, h1)
-    dw2t_o[...] += outer(dh3, h2)
-    dw3t_o[...] += outer(dh4, hc)
-    dwoutt_o[...] += outer(rawbar, h4)
-    # Bias cotangents: defer the lane reduction (accumulate [*, R] rows,
-    # fold the nb*R lanes back onto R by summing block slices).
-    def fold(rows):
-      acc = rows[:, 0:r]
-      for b in range(1, nb):
-        acc = acc + rows[:, b * r:(b + 1) * r]
-      return acc
+      width = h1.shape[0]
+      dh4 = matm(wout[:], rawbar) * (h4 > 0)
+      dhc = matm(w3[:], dh4)
+      dh3 = dhc[0:width] * (h3 > 0)
+      dx_skip = dhc[width:]
+      dh2 = matm(w2[:], dh3) * (h2 > 0)
+      dh1 = matm(w1[:], dh2) * (h1 > 0)
+      dx = matm(w0[:], dh1) + dx_skip
 
-    dbias_o[0] += fold(dh1)
-    dbias_o[1] += fold(dh2)
-    dbias_o[2] += fold(dh3)
-    dbias_o[3] += fold(dh4)
-    dbias_o[4] += jnp.concatenate(
-        [fold(rawbar), jnp.zeros((width - 3, r), jnp.float32)], axis=0)
+      dw0t_o[...] += outer(dh1, x_c)
+      dw1t_o[...] += outer(dh2, h1)
+      dw2t_o[...] += outer(dh3, h2)
+      dw3t_o[...] += outer(dh4, hc)
+      dwoutt_o[...] += outer(rawbar, h4)
+      # Bias/alpha cotangents: accumulate [*, R] rows, reduce lanes once
+      # at the very end (outside the kernel).
+      dbias_o[0] += dh1
+      dbias_o[1] += dh2
+      dbias_o[2] += dh3
+      dbias_o[3] += dh4
+      dbias_o[4] += jnp.concatenate(
+          [rawbar, jnp.zeros((width - 3, r), jnp.float32)], axis=0)
 
-    pbar_pe, dal_rows = _pe_bwd(dx, pe_caches)
-    dalpha_o[...] += fold(dal_rows)
+      pbar_pe, dal_rows = _pe_bwd(dx, pe_caches)
+      dalpha_o[...] += dal_rows
+      p_so3_b.append(pbar_pe)
+      g_so3_b.append(g_so3)
 
     # ---- per-block Euler + trilinear adjoints ----
     new_p, new_d = [], []
     for b in range(nb):
       pbar = pbar_all[3 * b:3 * b + 3, :]
       dbar = dbar_all[3 * b:3 * b + 3, :]
-      p_so3 = pbar_pe[:, b * r:(b + 1) * r] * mask_b[b]
-      g_so3 = g_so3_cat[:, b * r:(b + 1) * r]
+      p_so3 = p_so3_b[b] * mask_b[b]
+      g_so3 = g_so3_b[b]
 
       gbar = ubar_b[b] * (1.0 - mask_b[b]) + g_so3 + dg_b[b]
       dlen = jnp.sqrt(jnp.maximum(

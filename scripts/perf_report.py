@@ -121,8 +121,11 @@ def main():
   parser.add_argument("--march_mode", default="pallas")
   parser.add_argument("--mlp_dtype", default="bfloat16",
                       help="radiance-MLP compute dtype (production: bf16)")
-  parser.add_argument("--window", type=int, default=16)
-  parser.add_argument("--grid_n", type=int, default=128)
+  parser.add_argument("--march_interp", default="default",
+                      help="fused-march interp precision (production: "
+                      "single-pass bf16 'default'; 'highest' = fp32-exact)")
+  parser.add_argument("--window", type=int, default=24)
+  parser.add_argument("--grid_n", type=int, default=512)
   parser.add_argument("--iters", type=int, default=10)
   parser.add_argument("--trace", default=None,
                       help="directory for a jax profiler trace")
@@ -132,7 +135,8 @@ def main():
   dev = jax.devices()[0]
   args = bench.ship_args(march_mode=args_cli.march_mode, tile_size=16,
                          march_window=args_cli.window, march_refetch=8,
-                         mlp_dtype=args_cli.mlp_dtype)
+                         mlp_dtype=args_cli.mlp_dtype,
+                         march_interp=args_cli.march_interp)
   grid = bench.blob_grid(args_cli.grid_n)
   batch = bench.make_inputs(bench.BATCH, tiled=True)
   model, variables = construct_nerf(
@@ -243,7 +247,8 @@ def main():
       f"Device: {dev.device_kind} (1 chip); workload: ship scale "
       f"(batch 1024 rays, 64x12=768 march steps, 64 coarse + 128 fine "
       f"samples, 8x256 MLPs ({args_cli.mlp_dtype}), {args_cli.grid_n}^3 "
-      f"grid, march_mode={args_cli.march_mode}, window={args_cli.window}).",
+      f"grid, march_mode={args_cli.march_mode}, window={args_cli.window}, "
+      f"march_interp={args_cli.march_interp}).",
       "All numbers measured on this device (no estimates); generated by "
       "scripts/perf_report.py.",
       "",
