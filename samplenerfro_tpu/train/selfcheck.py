@@ -33,13 +33,20 @@ SO3_KEY = (0, 10, True, True, True, False)  # shipped VoxMLP branch
 
 
 def _blob_grid3d(spec, n):
+  # Prepared entirely on the host: flagship-size (512^3) eager device ops
+  # on [N^3, C] shapes hit TPU layout padding (see
+  # grid.central_difference_grad_numpy) and the remote-compile relay
+  # rejects the eager 2 GB reshape outright; one host-side build + one
+  # transfer sidesteps both.
   axes = np.linspace(spec.nmin[0], spec.nmax[0], n)
   xx, yy, zz = np.meshgrid(axes, axes, axes, indexing="ij")
   vals = (1.0 + 0.5 * np.exp(-(xx**2 + yy**2 + zz**2) / 0.25)).reshape(-1, 1)
-  values = jnp.asarray(vals, jnp.float32)
-  grad = grid_ops.central_difference_grad(spec, values)
-  data = jnp.concatenate([values, grad], axis=-1)
-  return data, data.reshape(n, n, n * 4)
+  vals = vals.astype(np.float32)
+  grad = grid_ops.central_difference_grad_numpy(spec, vals)
+  data_np = np.concatenate([vals, grad], axis=-1)
+  # The flat [N^3, 4] view stays a numpy array (jnp ops convert on use):
+  # flagship callers only consume the march-layout grid.
+  return data_np, jnp.asarray(data_np.reshape(n, n, n * 4))
 
 
 def _center_tile_rays(batch, tile=16, res=800, fov=0.69):
