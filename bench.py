@@ -285,8 +285,11 @@ def production_args(stage="radiance_bench", window=None, **over):
   if march_interp == "float32":
     march_interp = "highest"
   refetch = int(os.environ.get("BENCH_MARCH_REFETCH", "8"))
+  # Lean march emit (7-channel dense trajectory + in-kernel jittered
+  # subsample) A/B knob; see ops/pallas/march_kernel.py.
+  march_emit = os.environ.get("BENCH_MARCH_EMIT", "full")
   over = {"march_refetch": refetch, "march_bwd_dtype": march_bwd_dtype,
-          "march_interp": march_interp, **over}
+          "march_interp": march_interp, "march_emit": march_emit, **over}
   return ship_args(march_mode=march_mode, tile_size=16, march_window=window,
                    mlp_dtype=mlp_dtype, mlp_remat=mlp_remat,
                    mlp_kernel=mlp_kernel, stage=stage, **over)

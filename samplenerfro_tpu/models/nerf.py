@@ -91,6 +91,12 @@ class NerfModel(nn.Module):
   # Fused-march interpolation precision ("highest" fp32-exact | "high"
   # bf16x3 fast path); see models/path_sampler.py.
   march_interp: str = "highest"
+  # "lean": fused-march kernel emits only pos/dir/arclength densely and
+  # subsamples the jittered coarse points in-kernel (no dense n / grad-n
+  # trajectory). Auto-demoted to "full" whenever a consumer needs the
+  # dense gradients (online sparsity) or the stage differentiates the
+  # march; see models/path_sampler.py.
+  march_emit: str = "full"
   # Radiance-MLP compute dtype ("float32" | "bfloat16"); params stay fp32.
   mlp_dtype: str = "float32"
   mlp_remat: bool = False
@@ -143,7 +149,11 @@ class NerfModel(nn.Module):
         tile_block=self.tile_block,
         march_window=self.march_window,
         march_refetch=self.march_refetch,
-        march_interp=self.march_interp)
+        march_interp=self.march_interp,
+        # Online sparsity consumes the dense grad-n trajectory (the
+        # ||grad n|| > 1e-6 masks below); keep the full emit then.
+        march_emit=(self.march_emit
+                    if not self.use_online_sparsity else "full"))
 
     self.coarse_step_size = (self.far - self.near) / self.num_coarse_samples
     self.fine_step_size = (self.far - self.near) / (
@@ -332,21 +342,28 @@ class NerfModel(nn.Module):
       sparsity loss. Parity: rnerf/models.py:219-535.
     """
     key, rng_0 = random.split(rng_0)
-    ray_pos, ray_dir, ray_dist, idx_data, idx_grad = self.path_sampler(
-        rays.origins, rays.viewdirs, annealed_alpha)
-
     # Jittered 1-of-num_path_samples subsample per coarse bin
-    # (models.py:240-247).
+    # (models.py:240-247). Computed before the march so the fused kernel
+    # can subsample in-kernel (march_emit="lean"); same key/values as the
+    # post-march gather, so rng parity is unchanged.
     jitter = jnp.arange(0, self.num_coarse_samples * self.num_path_samples,
                         self.num_path_samples)
     if self.use_random_choice:
       jitter = jitter + random.randint(
           key, [self.num_coarse_samples], minval=0,
           maxval=self.num_path_samples)
-    ray_pos_c = ray_pos[:, jitter]
-    ray_dir_c = ray_dir[:, jitter]
-    ray_dist_c = ray_dist[:, jitter]
-    idx_grad_c = idx_grad[:, jitter]
+
+    ray_pos, ray_dir, ray_dist, idx_data, idx_grad, sub = self.path_sampler(
+        rays.origins, rays.viewdirs, annealed_alpha, jitter=jitter)
+
+    if sub is not None:
+      ray_pos_c, ray_dir_c, ray_dist_c = sub
+      idx_grad_c = None
+    else:
+      ray_pos_c = ray_pos[:, jitter]
+      ray_dir_c = ray_dir[:, jitter]
+      ray_dist_c = ray_dist[:, jitter]
+      idx_grad_c = idx_grad[:, jitter]
 
     samples_enc = self._featurize(ray_pos_c, ray_dir_c, ray_dist_c, rays.radii)
     mask_bbox = self._mask_bbox(ray_pos_c) if self.use_mask_bbox else None
@@ -386,7 +403,8 @@ class NerfModel(nn.Module):
       ray_dist_c, ray_pos_c, ray_dir_c, idx_grad_c = render_ops.sample_pdf(
           key, ray_dist_c_mid, weights[..., 1:-1],
           ray_pos, ray_dir, ray_dist, idx_grad,
-          self.num_fine_samples, randomized, jitter, self.near)
+          self.num_fine_samples, randomized, jitter, self.near,
+          z_coarse=ray_dist_c)
 
       samples_enc = self._featurize(ray_pos_c, ray_dir_c, ray_dist_c,
                                     rays.radii)
@@ -536,6 +554,7 @@ def construct_nerf(key, example_batch, args, ndim, nmin, nmax, grid,
       march_window=int(getattr(args, "march_window", 16)),
       march_refetch=int(getattr(args, "march_refetch", 8)),
       march_interp=str(getattr(args, "march_interp", "highest")),
+      march_emit=str(getattr(args, "march_emit", "full")),
   )
 
   # Batches are flat [batch, ...] host arrays (no per-device leading axis as

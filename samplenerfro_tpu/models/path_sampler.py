@@ -86,6 +86,12 @@ class PathSampler(nn.Module):
   # bfloat16 is the fast production path (same precision story as the
   # bf16 radiance MLPs, quality-gate via scripts/validate_quality.py).
   march_bwd_dtype: str = "float32"
+  # "lean" emits only the densely-consumed pos/dir/arclength channels from
+  # the fused kernel and subsamples the jittered coarse points IN-KERNEL
+  # (march_kernel.march_tiled_pallas_lean) when the caller passes the
+  # jitter indices and no consumer needs the dense n / grad-n trajectory
+  # (models/nerf.py gates on use_online_sparsity and the stage).
+  march_emit: str = "full"
 
   def setup(self):
     if self.interp_method != "linear3":
@@ -169,15 +175,44 @@ class PathSampler(nn.Module):
                          axis=-1, keepdims=True).mean()
     return 0.0, smoothness
 
-  def __call__(self, origins, directions, annealed_alpha):
+  def __call__(self, origins, directions, annealed_alpha, jitter=None):
     """March paths; returns (pos, unit dirs, arclength, n, grad n).
 
     Shapes: [batch, S, 3], [batch, S, 3], [batch, S], [batch, S, 1],
     [batch, S, 3] with S = num_samples. Parity: rnerf/eikonal_utils.py:100-124.
+
+    When `jitter` ([num_coarse] int32 dense indices of the per-bin coarse
+    subsample) is passed, a SIXTH element is returned: either
+    (sub_pos, sub_dir, sub_dist) produced in-kernel (march_emit="lean",
+    fused marcher) or None, in which case the caller gathers from the
+    dense trajectory as usual. With lean output, n and grad n are None.
     """
     data = self.grid.value
     use_pred = self.stage.startswith("all")
     so3_params = self.so3_mlp
+
+    if (jitter is not None and self.march_emit == "lean" and not use_pred
+        and self.march_mode == "pallas" and self.march_window > 0
+        and march_kernel.supports_lean(
+            self.spec, self.num_samples, origins.shape[0],
+            int(jitter.shape[-1]), self.tile_block, self.march_window,
+            self.march_refetch)):
+      pos, dirs, dist, sub_pos, sub_dir, sub_dist, oow = (
+          march_kernel.march_tiled_pallas_lean(
+              self.spec, self.grid3d.value, origins, directions, self.near,
+              self.step_size, self.num_samples, jitter,
+              block_size=self.tile_block, window=self.march_window,
+              refetch_every=self.march_refetch,
+              interp_precision=self.march_interp))
+      self.sow("diagnostics", "march_oow", oow,
+               init_fn=lambda: jnp.int32(0),
+               reduce_fn=lambda a, b: a + b)
+      return (pos, dirs, jax.lax.stop_gradient(dist), None, None,
+              (sub_pos, sub_dir, jax.lax.stop_gradient(sub_dist)))
+
+    def _ret(pos, dirs, dist, n, g):
+      out = (pos, dirs, dist, n, g)
+      return out + ((None,) if jitter is not None else ())
 
     if use_pred:
       def pred_grad_fn(rp, g):
@@ -206,7 +241,7 @@ class PathSampler(nn.Module):
       self.sow("diagnostics", "march_oow", oow,
                init_fn=lambda: jnp.int32(0),
                reduce_fn=lambda a, b: a + b)
-      return pos, dirs, jax.lax.stop_gradient(dist), n, g
+      return _ret(pos, dirs, jax.lax.stop_gradient(dist), n, g)
 
     # The fused kernel implements only the shipped so3 branch (annealed
     # PE from degree 0, Rodrigues residual head).
@@ -228,7 +263,7 @@ class PathSampler(nn.Module):
       self.sow("diagnostics", "march_oow", oow,
                init_fn=lambda: jnp.int32(0),
                reduce_fn=lambda a, b: a + b)
-      return pos, dirs, jax.lax.stop_gradient(dist), n, g
+      return _ret(pos, dirs, jax.lax.stop_gradient(dist), n, g)
 
     if (self.march_mode in ("tiled", "pallas")
         and origins.shape[0] % self.tile_block == 0):
@@ -241,10 +276,10 @@ class PathSampler(nn.Module):
       self.sow("diagnostics", "march_oow", oow,
                init_fn=lambda: jnp.int32(0),
                reduce_fn=lambda a, b: a + b)
-      return pos, dirs, jax.lax.stop_gradient(dist), n, g
+      return _ret(pos, dirs, jax.lax.stop_gradient(dist), n, g)
 
     pos, dirs, dist, n, g = eik_ops.march(
         self.spec, data, origins, directions, self.near, self.step_size,
         self.num_samples, pred_grad_fn=pred_grad_fn, use_pred_grad=use_pred,
         unroll=self.unroll)
-    return pos, dirs, jax.lax.stop_gradient(dist), n, g
+    return _ret(pos, dirs, jax.lax.stop_gradient(dist), n, g)

@@ -75,7 +75,7 @@ def _pad8(x):
 
 
 def _per_block_vmem_bytes(window, refetch_every, block_size, unroll=1,
-                          so3=False):
+                          so3=False, emit_rows=11, sub_rows=0):
   """Scoped-VMEM bytes one ray block contributes to a kernel invocation.
 
   Minor-two dims of every buffer are (8, 128)-tile padded, hence the
@@ -89,27 +89,33 @@ def _per_block_vmem_bytes(window, refetch_every, block_size, unroll=1,
   instead of reusing one iteration's slots. The 0.75 factor is fitted to
   compile-probe ground truth at 512^3/nb4: w8/w16 fit at full unroll,
   w24 OOMs at both r8 (17.99 MB vs the 16 MB stack) and r4.
+
+  emit_rows is the dense-output channel count (11 full / 7 lean);
+  sub_rows charges the VMEM-resident jittered-subsample output block
+  ([num_coarse, 7, R] per ray block) when the in-kernel subsample is on.
   """
   yext = window + 8
   zc = _ZEXT * 4
   win_scratch = window * _pad8(yext) * zc * 4   # grid window (VMEM scratch)
   tr_scratch = zc * window * yext * 4           # transposed window scratch
-  out_block = refetch_every * _pad8(11) * block_size * 4 * 2  # dbl-buffered
+  out_block = refetch_every * _pad8(emit_rows) * block_size * 4 * 2  # dbl-buf
+  sub_block = sub_rows * _pad8(7) * block_size * 4  # resident whole-march
   state = 3 * _pad8(3) * block_size * 4
   unrolled = 0
   if unroll > 1:
     step_rows = 0.75 * window * yext + (512 if so3 else 0)
     unrolled = int((unroll - 1) * step_rows * block_size * 4)
-  return win_scratch + tr_scratch + out_block + state + unrolled
+  return win_scratch + tr_scratch + out_block + sub_block + state + unrolled
 
 
 def max_blocks_per_call(window, refetch_every, block_size, grid_bytes=0,
-                        unroll=1, so3=False):
+                        unroll=1, so3=False, emit_rows=11, sub_rows=0):
   """Largest block count whose scratch+output staging fits scoped VMEM."""
   fixed = 2 * grid_bytes if grid_bytes <= _GRID_VMEM_RESIDENT_MAX else 0
   avail = _VMEM_BUDGET_BYTES - fixed
   return max(1, avail // _per_block_vmem_bytes(window, refetch_every,
-                                               block_size, unroll, so3))
+                                               block_size, unroll, so3,
+                                               emit_rows, sub_rows))
 
 
 def _supports(spec, num_samples, batch, block_size, window, refetch_every):
@@ -132,6 +138,14 @@ def supports(spec, num_samples, batch, block_size=256, window=8,
   """Public capability check for callers choosing a marcher."""
   return _supports(spec, num_samples, batch, block_size, window,
                    refetch_every)
+
+
+def supports_lean(spec, num_samples, batch, num_coarse, block_size=256,
+                  window=8, refetch_every=8):
+  """Capability check for the lean-emit + in-kernel-subsample variant."""
+  return (_supports(spec, num_samples, batch, block_size, window,
+                    refetch_every)
+          and num_coarse > 0 and num_samples % num_coarse == 0)
 
 
 def _axis_rows(nb, vals):
@@ -207,18 +221,27 @@ def _so3_refine_t(rp, g, alpha, so3_refs, max_deg):
 
 def _march_kernel(refs, *, n, w, yext, block_size, nb, refetch, near,
                   step_size, nmin, ndelta, use_pred_grad, max_deg, unroll,
-                  interp_precision):
+                  interp_precision, emit_rows=11, num_path=None):
+  refs = list(refs)
+  origins_ref, dirs_ref, grid_hbm, selmat_ref = refs[:4]
+  idx = 4
   if use_pred_grad:
-    (origins_ref, dirs_ref, grid_hbm, selmat_ref, alpha_ref,
-     w0t, w1t, w2t, w3t, woutt, bstack,
-     out_ref, oow_ref, state_ref, brick_ref, bt_ref, sem_ref) = refs
+    alpha_ref, w0t, w1t, w2t, w3t, woutt, bstack = refs[idx:idx + 7]
+    idx += 7
     so3_refs = (w0t, w1t, w2t, w3t, woutt, bstack)
     alpha = alpha_ref[0, 0]
   else:
-    (origins_ref, dirs_ref, grid_hbm, selmat_ref,
-     out_ref, oow_ref, state_ref, brick_ref, bt_ref, sem_ref) = refs
     so3_refs = None
     alpha = None
+  if num_path is not None:
+    jitter_ref = refs[idx]
+    idx += 1
+  out_ref = refs[idx]
+  idx += 1
+  if num_path is not None:
+    sub_ref = refs[idx]
+    idx += 1
+  oow_ref, state_ref, brick_ref, bt_ref, sem_ref = refs[idx:]
   k = pl.program_id(0)  # reuse-window index (sequential)
   r = block_size
   zext = _ZEXT
@@ -342,13 +365,36 @@ def _march_kernel(refs, *, n, w, yext, block_size, nb, refetch, near,
     rt_next = rt_all + jnp.sqrt(seg)
 
     for b in range(nb):
-      out_ref[b, i] = jnp.concatenate([
+      state7 = [
           rp_all[3 * b:3 * b + 3, :],
           rd_all[3 * b:3 * b + 3, :],
           rt_all[b:b + 1, :],
-          nrows[b],
-          grows[b],
-      ], axis=0)  # [11, R]
+      ]
+      if emit_rows == 11:
+        out_ref[b, i] = jnp.concatenate(
+            state7 + [nrows[b], grows[b]], axis=0)  # [11, R]
+      else:
+        out_ref[b, i] = jnp.concatenate(state7, axis=0)  # [7, R]
+
+    if num_path is not None:
+      # In-kernel jittered subsample: each global step s belongs to coarse
+      # bin c = s // num_path; it is the bin's selected sample iff
+      # jitter[c] == s (jitter[c] is in [c*num_path, (c+1)*num_path) by
+      # construction, models/nerf.py). The [nb, Nc, 7, R] output block is
+      # VMEM-resident across the whole march (same block every grid step)
+      # and every bin row is written exactly once.
+      s_glob = k * refetch + i
+      c = s_glob // num_path
+      sel = jitter_ref[0, c] == s_glob
+
+      @pl.when(sel)
+      def _store_sub():
+        for b in range(nb):
+          sub_ref[b, c] = jnp.concatenate([
+              rp_all[3 * b:3 * b + 3, :],
+              rd_all[3 * b:3 * b + 3, :],
+              rt_all[b:b + 1, :],
+          ], axis=0)  # [7, R]
 
     return next_rp, next_rd, rt_next, oow_vec
 
@@ -370,11 +416,12 @@ def _march_kernel(refs, *, n, w, yext, block_size, nb, refetch, near,
     static_argnames=("spec", "num_samples", "near", "step_size",
                      "block_size", "window", "refetch_every", "max_deg",
                      "unroll", "interpret", "normalize_dirs",
-                     "interp_precision"))
+                     "interp_precision", "emit"))
 def _march_pallas_impl(spec, data, origins, directions, near, step_size,
                        num_samples, so3_inputs, block_size, window,
                        refetch_every, max_deg, unroll, interpret,
-                       normalize_dirs=True, interp_precision="highest"):
+                       normalize_dirs=True, interp_precision="highest",
+                       emit="full", jitter=None):
   n = spec.ndim[0]
   w = window
   yext = w + 8
@@ -383,6 +430,9 @@ def _march_pallas_impl(spec, data, origins, directions, near, step_size,
   nb = batch // block_size
   num_windows = num_samples // refetch_every
   use_pred_grad = so3_inputs is not None
+  emit_rows = 11 if emit == "full" else 7
+  num_coarse = None if jitter is None else jitter.shape[-1]
+  num_path = None if jitter is None else num_samples // num_coarse
 
   # March-layout grid (see eikonal_tiled): pass [n, n, n*4] to avoid a
   # per-call HBM relayout of the flat shape.
@@ -424,6 +474,9 @@ def _march_pallas_impl(spec, data, origins, directions, near, step_size,
       inputs.append(jnp.transpose(jnp.asarray(m, jnp.float32), (1, 0)))
     in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     inputs.append(bstack)
+  if jitter is not None:
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    inputs.append(jnp.asarray(jitter, jnp.int32).reshape(1, num_coarse))
 
   def wrapped_kernel(*refs):
     return _march_kernel(
@@ -431,23 +484,35 @@ def _march_pallas_impl(spec, data, origins, directions, near, step_size,
         refetch=refetch_every, near=near, step_size=step_size,
         nmin=spec.nmin, ndelta=spec.ndelta, use_pred_grad=use_pred_grad,
         max_deg=max_deg, unroll=unroll,
-        interp_precision=_precision(interp_precision))
+        interp_precision=_precision(interp_precision),
+        emit_rows=emit_rows, num_path=num_path)
 
-  out, oow = pl.pallas_call(
+  out_specs = [
+      pl.BlockSpec((nb, refetch_every, emit_rows, block_size),
+                   lambda k: (0, k, 0, 0), memory_space=pltpu.VMEM),
+  ]
+  out_shape = [
+      jax.ShapeDtypeStruct((nb, num_samples, emit_rows, block_size),
+                           jnp.float32),
+  ]
+  if jitter is not None:
+    # Whole-array block revisited every grid step: stays VMEM-resident
+    # for the march, written back to HBM once at the end.
+    out_specs.append(pl.BlockSpec((nb, num_coarse, 7, block_size),
+                                  lambda k: (0, 0, 0, 0),
+                                  memory_space=pltpu.VMEM))
+    out_shape.append(jax.ShapeDtypeStruct(
+        (nb, num_coarse, 7, block_size), jnp.float32))
+  out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+  out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.int32))
+
+  outs = pl.pallas_call(
       wrapped_kernel,
       interpret=interpret,
       grid=(num_windows,),
       in_specs=in_specs,
-      out_specs=(
-          pl.BlockSpec((nb, refetch_every, 11, block_size),
-                       lambda k: (0, k, 0, 0), memory_space=pltpu.VMEM),
-          pl.BlockSpec(memory_space=pltpu.SMEM),
-      ),
-      out_shape=(
-          jax.ShapeDtypeStruct((nb, num_samples, 11, block_size),
-                               jnp.float32),
-          jax.ShapeDtypeStruct((1, 1), jnp.int32),
-      ),
+      out_specs=tuple(out_specs),
+      out_shape=tuple(out_shape),
       scratch_shapes=[
           pltpu.VMEM((3, nb * 3, block_size), jnp.float32),
           pltpu.VMEM((nb, w, yext, zext * 4), jnp.float32),
@@ -455,17 +520,30 @@ def _march_pallas_impl(spec, data, origins, directions, near, step_size,
           pltpu.SemaphoreType.DMA((nb,)),
       ],
   )(*inputs)
+  out = outs[0]
+  sub = outs[1] if jitter is not None else None
+  oow = outs[-1]
 
-  # [nb, S, 11, R] -> per-ray arrays [batch, S, ...].
-  out = jnp.transpose(out, (0, 3, 1, 2)).reshape(batch, num_samples, 11)
+  # [nb, S, C, R] -> per-ray arrays [batch, S, ...].
+  out = jnp.transpose(out, (0, 3, 1, 2)).reshape(batch, num_samples,
+                                                 emit_rows)
   pos = out[..., 0:3]
   dirs = out[..., 3:6]
   if normalize_dirs:
     dirs = math_ops.safe_l2_normalize(dirs)
   dist = out[..., 6]
-  nvals = out[..., 7:8]
-  g = out[..., 8:11]
-  return pos, dirs, dist, nvals, g, oow[0, 0]
+  nvals = out[..., 7:8] if emit_rows == 11 else None
+  g = out[..., 8:11] if emit_rows == 11 else None
+  if sub is not None:
+    sub = jnp.transpose(sub, (0, 3, 1, 2)).reshape(batch, num_coarse, 7)
+    sub_pos = sub[..., 0:3]
+    sub_dir = sub[..., 3:6]
+    if normalize_dirs:
+      sub_dir = math_ops.safe_l2_normalize(sub_dir)
+    sub_out = (sub_pos, sub_dir, sub[..., 6])
+  else:
+    sub_out = None
+  return pos, dirs, dist, nvals, g, sub_out, oow[0, 0]
 
 
 # MARCH_UNROLL pins the per-window step-loop unroll (Mosaic supports only
@@ -491,6 +569,48 @@ def march_tiled_pallas(spec, data, origins, directions, near, step_size,
   training) wrap this forward with the analytic reverse sweep in
   ops/eikonal_vjp.py.
   """
+  out = _march_pallas_common(
+      spec, data, origins, directions, near, step_size, num_samples,
+      block_size, window, refetch_every, so3_params, annealed_alpha,
+      max_deg, unroll, interpret, normalize_dirs, interp_precision,
+      emit="full", jitter=None)
+  pos, dirs, dist, nvals, g, _sub, oow = out
+  return pos, dirs, dist, nvals, g, oow
+
+
+def march_tiled_pallas_lean(spec, data, origins, directions, near,
+                            step_size, num_samples, jitter, block_size=256,
+                            window=8, refetch_every=8, unroll=None,
+                            interpret=False, normalize_dirs=True,
+                            interp_precision=None):
+  """Radiance-stage fused march with lean output + in-kernel subsample.
+
+  The dense trajectory is emitted with SEVEN channels (pos, dir,
+  arclength) — the only densely-consumed quantities in the radiance path
+  (the hierarchical re-anchor, ops/render.py:reanchor_on_path); the
+  interpolated n / grad-n trajectory stays in-kernel. The jittered
+  1-of-num_path coarse subsample (models/nerf.py jitter gather, parity
+  rnerf/models.py:240-247) is written by the kernel into a compact
+  [batch, num_coarse, 7] output instead of an XLA gather over the dense
+  [batch, S, C] trajectory.
+
+  Args as march_tiled_pallas, plus jitter: [num_coarse] int32, one dense
+  index per coarse bin with jitter[c] in [c*num_path, (c+1)*num_path).
+
+  Returns (pos, dirs, dist, sub_pos, sub_dirs, sub_dist, oow).
+  """
+  pos, dirs, dist, _n, _g, sub, oow = _march_pallas_common(
+      spec, data, origins, directions, near, step_size, num_samples,
+      block_size, window, refetch_every, None, 1.0, 10, unroll, interpret,
+      normalize_dirs, interp_precision, emit="lean", jitter=jitter)
+  return (pos, dirs, dist) + sub + (oow,)
+
+
+def _march_pallas_common(spec, data, origins, directions, near, step_size,
+                         num_samples, block_size, window, refetch_every,
+                         so3_params, annealed_alpha, max_deg, unroll,
+                         interpret, normalize_dirs, interp_precision, emit,
+                         jitter):
   so3_inputs = None
   if so3_params is not None:
     so3_inputs = (annealed_alpha, so3_params)
@@ -503,6 +623,8 @@ def march_tiled_pallas(spec, data, origins, directions, near, step_size,
   data = jax.lax.stop_gradient(data)
   origins = jax.lax.stop_gradient(origins)
   directions = jax.lax.stop_gradient(directions)
+  emit_rows = 11 if emit == "full" else 7
+  sub_rows = 0 if jitter is None else int(jitter.shape[-1])
 
   # The kernel's scoped VMEM scales with the block count (see
   # _VMEM_BUDGET_BYTES): split large batches (eval render chunks) into
@@ -513,7 +635,8 @@ def march_tiled_pallas(spec, data, origins, directions, near, step_size,
   batch = origins.shape[0]
   nb_total = batch // block_size
   max_nb = max_blocks_per_call(window, refetch_every, block_size,
-                               grid_bytes=data.size * 4)
+                               grid_bytes=data.size * 4,
+                               emit_rows=emit_rows, sub_rows=sub_rows)
   if unroll is None:
     # Interpret mode keeps unroll=1: XLA CPU's fusion of the unrolled
     # body varies with the block count, breaking the bit-exact
@@ -526,26 +649,31 @@ def march_tiled_pallas(spec, data, origins, directions, near, step_size,
       call_nb = min(nb_total, max_nb)
       fits_unrolled = call_nb <= max_blocks_per_call(
           window, refetch_every, block_size, grid_bytes=data.size * 4,
-          unroll=refetch_every, so3=so3_inputs is not None)
+          unroll=refetch_every, so3=so3_inputs is not None,
+          emit_rows=emit_rows, sub_rows=sub_rows)
       unroll = refetch_every if fits_unrolled else 1
   if nb_total <= max_nb:
     return _march_pallas_impl(
         spec, data, origins, directions, near, step_size, num_samples,
         so3_inputs, block_size, window, refetch_every, max_deg, unroll,
         interpret, normalize_dirs=normalize_dirs,
-        interp_precision=interp_precision)
+        interp_precision=interp_precision, emit=emit, jitter=jitter)
 
   parts = []
   oow_total = jnp.int32(0)
   rows = max_nb * block_size
   for start in range(0, batch, rows):
     end = min(start + rows, batch)
-    pos, dirs, dist, nvals, g, oow = _march_pallas_impl(
+    pos, dirs, dist, nvals, g, sub, oow = _march_pallas_impl(
         spec, data, origins[start:end], directions[start:end], near,
         step_size, num_samples, so3_inputs, block_size, window,
         refetch_every, max_deg, unroll, interpret,
-        normalize_dirs=normalize_dirs, interp_precision=interp_precision)
-    parts.append((pos, dirs, dist, nvals, g))
+        normalize_dirs=normalize_dirs, interp_precision=interp_precision,
+        emit=emit, jitter=jitter)
+    parts.append((pos, dirs, dist, nvals, g) + (sub if sub else ()))
     oow_total = oow_total + oow
-  stacked = [jnp.concatenate(cols, axis=0) for cols in zip(*parts)]
-  return (*stacked, oow_total)
+  stacked = [None if cols[0] is None else jnp.concatenate(cols, axis=0)
+             for cols in zip(*parts)]
+  if jitter is not None:
+    return (*stacked[:5], tuple(stacked[5:8]), oow_total)
+  return (*stacked, None, oow_total)

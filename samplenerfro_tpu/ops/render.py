@@ -150,8 +150,12 @@ def reanchor_on_path(z_samples, path_pos, path_dir, path_dist, path_grad,
     (pos, dirs, grads): [batch, M, 3] each.
   """
   s = path_dist.shape[-1]
-  payload = jnp.concatenate(
-      [path_pos, path_dir, path_grad, path_dist[..., None]], axis=-1)
+  # path_grad=None (lean march emit, models/nerf.py) drops the gradient
+  # columns from the payload: the radiance path only consumes grads for
+  # the online-sparsity masks, which force the full emit.
+  cols = [path_pos, path_dir] + ([path_grad] if path_grad is not None else [])
+  payload = jnp.concatenate(cols + [path_dist[..., None]], axis=-1)
+  nc = payload.shape[-1]
 
   if method == "two_level":
     b, m = z_samples.shape
@@ -160,7 +164,7 @@ def reanchor_on_path(z_samples, path_pos, path_dir, path_dist, path_grad,
     if pad:
       # Pad with +inf arclengths (never counted as < z) and edge payload.
       payload = jnp.concatenate(
-          [payload, jnp.broadcast_to(payload[:, -1:], (b, pad, 10))], axis=1)
+          [payload, jnp.broadcast_to(payload[:, -1:], (b, pad, nc))], axis=1)
       path_dist = jnp.concatenate(
           [path_dist, jnp.full((b, pad), jnp.inf, path_dist.dtype)], axis=-1)
     c = path_dist.shape[-1] // g
@@ -174,10 +178,10 @@ def reanchor_on_path(z_samples, path_pos, path_dir, path_dist, path_grad,
                 == idx_c[..., None]).astype(payload.dtype)
     # One-hot bucket-window pull on the MXU; HIGHEST => exact selection.
     win = jnp.einsum("bmc,bck->bmk", onehot_c,
-                     payload.reshape(b, c, g * 10),
+                     payload.reshape(b, c, g * nc),
                      precision=jax.lax.Precision.HIGHEST)
-    win = win.reshape(b, m, g, 10)
-    local_d = win[..., 9]  # [B, M, G]
+    win = win.reshape(b, m, g, nc)
+    local_d = win[..., nc - 1]  # [B, M, G]
     cnt_l = jnp.sum((local_d < z_samples[..., None]).astype(jnp.int32),
                     axis=-1)
     # Global floor k = idx_c*g + cnt_l - 1, clipped to [0, S-1]; expressed
@@ -186,7 +190,7 @@ def reanchor_on_path(z_samples, path_pos, path_dir, path_dist, path_grad,
     within = jnp.clip(cnt_l - 1, 0, g - 1)
     onehot_l = (jax.lax.broadcasted_iota(jnp.int32, (b, m, g), 2)
                 == within[..., None]).astype(payload.dtype)
-    anchors = jnp.sum(onehot_l[..., None] * win, axis=2)  # [B, M, 10]
+    anchors = jnp.sum(onehot_l[..., None] * win, axis=2)  # [B, M, nc]
   else:
     # side='left' searchsorted == count of path_dist[k] < z. 'compare_all'
     # evaluates the [S, M] comparison mask on the VPU instead of a
@@ -198,14 +202,16 @@ def reanchor_on_path(z_samples, path_pos, path_dir, path_dist, path_grad,
     idx = jnp.clip(idx - 1, 0, s - 1)
     anchors = jnp.take_along_axis(payload, idx[..., None], axis=1)
 
-  anchor, rd, grads, anchor_t = (anchors[..., 0:3], anchors[..., 3:6],
-                                 anchors[..., 6:9], anchors[..., 9])
+  anchor, rd, anchor_t = (anchors[..., 0:3], anchors[..., 3:6],
+                          anchors[..., nc - 1])
+  grads = anchors[..., 6:9] if path_grad is not None else None
   pos = anchor + rd * (z_samples - anchor_t)[..., None]
   return pos, rd, grads
 
 
 def sample_pdf(key, bins, weights, path_pos, path_dir, path_dist, path_grad,
-               num_samples, randomized, jitter, near, stop_grad=True):
+               num_samples, randomized, jitter, near, stop_grad=True,
+               z_coarse=None):
   """Hierarchical sampling along a curved path.
 
   Draws `num_samples` fine arclengths from the coarse weight PDF, merges them
@@ -229,14 +235,16 @@ def sample_pdf(key, bins, weights, path_pos, path_dir, path_dist, path_grad,
   del near
   z_samples = sorted_piecewise_constant_pdf(key, bins, weights, num_samples,
                                             randomized)
-  z_coarse = path_dist[:, jitter]
+  if z_coarse is None:
+    z_coarse = path_dist[:, jitter]
   z_samples = jnp.sort(jnp.concatenate([z_coarse, z_samples], axis=-1), axis=-1)
   if stop_grad:
     path_pos = lax.stop_gradient(path_pos)
     path_dir = lax.stop_gradient(path_dir)
     z_samples = lax.stop_gradient(z_samples)
     path_dist = lax.stop_gradient(path_dist)
-    path_grad = lax.stop_gradient(path_grad)
+    if path_grad is not None:
+      path_grad = lax.stop_gradient(path_grad)
   pos, dirs, grads = reanchor_on_path(z_samples, path_pos, path_dir, path_dist,
                                       path_grad)
   return z_samples, pos, dirs, grads

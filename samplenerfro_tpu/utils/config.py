@@ -214,6 +214,13 @@ def define_flags():
                     "(~14 TF/s - slower than fp32 on v5e, kept for "
                     "ablation), default is single-pass bf16 (~43 TF/s, "
                     "2.15x; quality-gate via validate_quality.py).")
+  flags.DEFINE_enum("march_emit", "full", ["full", "lean"],
+                    "fused-march output channels: full emits the dense "
+                    "[batch, S, 11] trajectory (pos/dir/dist/n/grad-n); "
+                    "lean emits only the densely-consumed pos/dir/dist "
+                    "and subsamples the jittered coarse points in-kernel "
+                    "(auto-demoted to full for online sparsity and the "
+                    "'all' stage).")
   flags.DEFINE_enum("march_bwd_dtype", "float32", ["float32", "bfloat16"],
                     "compute dtype of the 'all'-stage analytic reverse "
                     "sweep's batched Jacobian/parameter passes "

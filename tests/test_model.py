@@ -241,3 +241,60 @@ def test_mlp_remat_identical_forward_and_grads():
       lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                               atol=1e-6),
       g0["coarse_mlp"], g1["coarse_mlp"])
+
+
+def test_march_emit_lean_matches_full():
+  """march_emit=lean (in-kernel subsample) renders bit-identically to full.
+
+  Production support predicates require 128-lane ray blocks; relax them so
+  the tiny CPU-interpret configuration exercises both kernel paths.
+  """
+  from samplenerfro_tpu.ops.pallas import march_kernel
+  from tests import helpers
+  import numpy as np
+
+  orig_supports = march_kernel._supports
+
+  def relaxed(spec, num_samples, batch, block_size, window, refetch_every):
+    n = spec.ndim[0]
+    return (n % 32 == 0 and n >= 64 and batch % block_size == 0
+            and num_samples % refetch_every == 0)
+
+  calls = {"lean": 0}
+  orig_lean = march_kernel.march_tiled_pallas_lean
+
+  def counting_lean(*a, **kw):
+    calls["lean"] += 1
+    return orig_lean(*a, **kw)
+
+  # Coherent pencil rays (one 16-ray tile => one kernel block).
+  d = np.array([[0.002 * (i % 4), 0.001 * (i // 4), 1.0] for i in range(16)],
+               np.float32)
+  d /= np.linalg.norm(d, axis=-1, keepdims=True)
+  from samplenerfro_tpu.data.rays import Rays
+  rays = Rays(origins=jnp.broadcast_to(
+                  jnp.asarray([0, 0, -4.0], jnp.float32), d.shape),
+              directions=jnp.asarray(d), viewdirs=jnp.asarray(d),
+              radii=jnp.full((16, 1), 0.001, jnp.float32))
+
+  march_kernel._supports = relaxed
+  march_kernel.march_tiled_pallas_lean = counting_lean
+  try:
+    outs = {}
+    for emit in ("full", "lean"):
+      args = helpers.tiny_args(march_mode="pallas", tile_size=4,
+                               march_window=16, march_refetch=8,
+                               march_emit=emit)
+      ndim, nmin, nmax, grid = helpers.make_grid(n=64)
+      model, variables = construct_nerf(
+          random.PRNGKey(0), {"rays": rays}, args, ndim, nmin, nmax, grid)
+      outs[emit], _ = model.apply(
+          variables, random.PRNGKey(1), random.PRNGKey(2), rays, True, 0.5)
+  finally:
+    march_kernel._supports = orig_supports
+    march_kernel.march_tiled_pallas_lean = orig_lean
+
+  assert calls["lean"] >= 1, "lean kernel path never activated"
+  for lf, ll in zip(outs["full"], outs["lean"]):
+    for a, b in zip(lf, ll):
+      np.testing.assert_array_equal(np.array(a), np.array(b))

@@ -199,3 +199,65 @@ def test_pallas_march_interp_precision_plumbing():
                         fast[:5]):
     np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-3,
                                err_msg=name)
+
+
+def _jitter(S, num_path, seed=1):
+  rng = np.random.RandomState(seed)
+  return jnp.asarray(
+      np.arange(0, S, num_path) + rng.randint(0, num_path, S // num_path),
+      jnp.int32)
+
+
+def test_pallas_march_lean_subsample_bit_exact():
+  """Lean emit + in-kernel jitter subsample == full emit + XLA gather."""
+  spec, data = _setup()
+  o1, d1 = _pencil(16)
+  o = jnp.concatenate([o1, o1 + jnp.asarray([0.8, -0.5, 0.0])], axis=0)
+  d = jnp.concatenate([d1, d1], axis=0)
+  S, near = 32, 2.0
+  h = 4.0 / (S - 1)
+  jitter = _jitter(S, num_path=4)
+
+  full = march_kernel.march_tiled_pallas(
+      spec, data, o, d, near, h, S, block_size=16, window=16,
+      refetch_every=8, interpret=True)
+  lean = march_kernel.march_tiled_pallas_lean(
+      spec, data, o, d, near, h, S, jitter, block_size=16, window=16,
+      refetch_every=8, interpret=True)
+  pos, dirs, dist, _n, _g, oow = full
+  lpos, ldirs, ldist, spos, sdirs, sdist, loow = lean
+  np.testing.assert_array_equal(np.array(pos), np.array(lpos))
+  np.testing.assert_array_equal(np.array(dirs), np.array(ldirs))
+  np.testing.assert_array_equal(np.array(dist), np.array(ldist))
+  np.testing.assert_array_equal(np.array(pos[:, jitter]), np.array(spos))
+  np.testing.assert_array_equal(np.array(dirs[:, jitter]), np.array(sdirs))
+  np.testing.assert_array_equal(np.array(dist[:, jitter]), np.array(sdist))
+  assert int(oow) == int(loow) == 0
+
+
+def test_pallas_march_lean_vmem_split_exact(monkeypatch):
+  """Lean-emit batches above the block budget split bit-exactly."""
+  spec, data = _setup()
+  o1, d1 = _pencil(16)
+  o = jnp.concatenate([o1, o1 + jnp.asarray([0.8, -0.5, 0.0]),
+                       o1 + jnp.asarray([-0.6, 0.4, 0.0]),
+                       o1 + jnp.asarray([0.0, 0.9, 0.0])], axis=0)
+  d = jnp.concatenate([d1] * 4, axis=0)
+  S, near = 32, 2.0
+  h = 4.0 / (S - 1)
+  jitter = _jitter(S, num_path=4)
+
+  kwargs = dict(block_size=16, window=16, refetch_every=8, interpret=True)
+  whole = march_kernel.march_tiled_pallas_lean(spec, data, o, d, near, h, S,
+                                               jitter, **kwargs)
+  monkeypatch.setattr(
+      march_kernel, "_VMEM_BUDGET_BYTES",
+      int(1.5 * march_kernel._per_block_vmem_bytes(
+          16, 8, 16, emit_rows=7, sub_rows=8)))
+  split = march_kernel.march_tiled_pallas_lean(spec, data, o, d, near, h, S,
+                                               jitter, **kwargs)
+  names = ("pos", "dir", "dist", "sub_pos", "sub_dir", "sub_dist")
+  for name, a, b in zip(names, whole[:6], split[:6]):
+    np.testing.assert_allclose(np.array(a), np.array(b), atol=0,
+                               err_msg=name)
+  assert int(whole[6]) == int(split[6])
