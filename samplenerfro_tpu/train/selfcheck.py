@@ -117,6 +117,28 @@ def check_march(grid_n=128, window=16, refetch=8, num_samples=768,
     for name, a, b in zip(("pos", "dirs", "dist", "n", "g"), scan_out, out):
       _assert_close(f"fwd_{tag}_{name}", a, b, fwd_atol, deviations)
 
+  # --- Forward, lean emit + in-kernel jittered subsample --------------------
+  # The lean program writes 7-channel dense output and subsamples in-kernel
+  # (march_emit="lean"); it must match the full emit bit-for-bit.
+  if march_kernel.supports_lean(spec, num_samples, batch, 64, block_size,
+                                window, refetch):
+    jit_rng = np.random.RandomState(11)
+    num_path = num_samples // 64
+    jitter = jnp.asarray(np.arange(0, num_samples, num_path)
+                         + jit_rng.randint(0, num_path, 64), jnp.int32)
+    lean_out = march_kernel.march_tiled_pallas_lean(
+        spec, data3d, o, d, near, h, num_samples, jitter,
+        block_size=block_size, window=window, refetch_every=refetch)
+    assert int(lean_out[6]) == 0, "lean kernel reported window violations"
+    ref_dense = outs[-1]  # pallas full emit when supported, else tiled
+    ref_sub = tuple(a[:, jitter] for a in
+                    (ref_dense[0], ref_dense[1], ref_dense[2]))
+    pairs = zip(("pos", "dirs", "dist", "sub_pos", "sub_dirs", "sub_dist"),
+                (ref_dense[0], ref_dense[1], ref_dense[2]) + ref_sub,
+                lean_out[:6])
+    for name, a, b in pairs:
+      _assert_close(f"fwd_lean_{name}", a, b, fwd_atol, deviations)
+
   # --- Forward, production bf16 interp (march_interp="default") ------------
   # The bf16 single-pass interpolation perturbs each step's interpolated
   # (n, g) by ~2^-8 relative; integrated over the march the trajectory
