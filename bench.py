@@ -352,7 +352,13 @@ def main():
     record["parity_scan_tpu_rays_per_sec"] = round(parity, 1)
 
   def companion(name, args_c, grid_n):
-    rays, inf = measure_train(args_c, grid_n)
+    # A companion failure (e.g. a TPU-tunnel flake mid-run) must not cost
+    # the headline measurement already taken: record the error instead.
+    try:
+      rays, inf = measure_train(args_c, grid_n)
+    except Exception as e:  # noqa: BLE001
+      record[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+      return
     record[f"{name}_rays_per_sec"] = round(rays, 1)
     for k in ("march_window", "march_refetch"):
       if k in inf:
@@ -366,8 +372,11 @@ def main():
       companion("grid128", production_args(), 128)
     companion("grid384_s24", production_args(num_path_samples=24), 384)
     companion("all_stage", production_args(stage="all_bench"), GRID_N)
-    record["eval_rays_per_sec"] = round(
-        measure_eval(production_args(), GRID_N)[0], 1)
+    try:
+      record["eval_rays_per_sec"] = round(
+          measure_eval(production_args(), GRID_N)[0], 1)
+    except Exception as e:  # noqa: BLE001
+      record["eval_error"] = f"{type(e).__name__}: {e}"[:200]
 
   print(json.dumps({
       "metric": "train_rays_per_sec",
