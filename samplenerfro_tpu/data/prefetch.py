@@ -12,13 +12,15 @@ import threading
 from samplenerfro_tpu.parallel import mesh as mesh_lib
 
 
-def device_prefetch(batch_fn, mesh, size=2):
+def device_prefetch(batch_fn, mesh, size=2, stacked=False):
   """Iterator of device-resident batches.
 
   Args:
     batch_fn: callable () -> host batch dict (or None to stop).
     mesh: jax.sharding.Mesh for placement.
     size: prefetch depth.
+    stacked: batches carry a leading step axis (multi-step dispatch);
+      rays are sharded on axis 1.
 
   Yields:
     device batches in order.
@@ -31,7 +33,7 @@ def device_prefetch(batch_fn, mesh, size=2):
       if batch is None:
         q.put(None)
         return
-      q.put(mesh_lib.put_batch(batch, mesh))
+      q.put(mesh_lib.put_batch(batch, mesh, stacked=stacked))
 
   t = threading.Thread(target=worker, daemon=True)
   t.start()

@@ -36,20 +36,24 @@ def replicated_sharding(mesh):
 REPLICATED_BATCH_KEYS = ("env_rays", "pts", "grads")
 
 
-def shard_batch_spec(mesh, batch, axis_name="batch"):
+def shard_batch_spec(mesh, batch, axis_name="batch", stacked=False):
   """Build a sharding pytree for a host batch dict.
 
   Arrays with a leading axis divisible by the mesh size are sharded on that
   axis; scalars and the REPLICATED_BATCH_KEYS subtrees (env-map patches,
-  boundary points) are replicated.
+  boundary points) are replicated. With stacked=True the batch carries a
+  leading step axis (multi-step dispatch): the ray axis is axis 1 and the
+  step axis is never sharded.
   """
   n = mesh.devices.size
-  data_sh = batch_sharding(mesh, axis_name)
+  ray_axis = 1 if stacked else 0
+  data_sh = (NamedSharding(mesh, P(None, axis_name)) if stacked
+             else batch_sharding(mesh, axis_name))
   repl = replicated_sharding(mesh)
 
   def spec(x):
-    if (hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] > 0
-        and x.shape[0] % n == 0):
+    if (hasattr(x, "shape") and x.ndim >= ray_axis + 1
+        and x.shape[ray_axis] > 0 and x.shape[ray_axis] % n == 0):
       return data_sh
     return repl
 
@@ -61,7 +65,7 @@ def shard_batch_spec(mesh, batch, axis_name="batch"):
   return jax.tree_util.tree_map(spec, batch)
 
 
-def put_batch(batch, mesh, axis_name="batch"):
+def put_batch(batch, mesh, axis_name="batch", stacked=False):
   """Transfer a host batch to devices with the standard sharding layout.
 
   Single-process: a plain device_put with NamedShardings. Multi-process:
@@ -71,8 +75,10 @@ def put_batch(batch, mesh, axis_name="batch"):
   host, matching rnerf/datasets.py:85) — and replicated leaves are
   broadcast from process 0 so every replica is bitwise identical (GSPMD
   requires replicated operands to agree across processes).
+  stacked=True: multi-step-dispatch batches with a leading step axis
+  (rays sharded on axis 1; see shard_batch_spec).
   """
-  shardings = shard_batch_spec(mesh, batch, axis_name)
+  shardings = shard_batch_spec(mesh, batch, axis_name, stacked=stacked)
   if jax.process_count() == 1:
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, s), batch, shardings)

@@ -65,6 +65,26 @@ CANDIDATES = ((8, 8), (8, 4), (10, 8), (12, 8), (12, 4), (16, 8), (16, 4),
 CANDIDATES_PALLAS = ((8, 8), (8, 4), (16, 8), (16, 4), (24, 8), (24, 4))
 
 
+def ladder_step_down(window, refetch):
+  """Next marcher config after an out-of-window violation at runtime.
+
+  --march_oow_action=fallback policy (train.py): step DOWN the ladder
+  instead of cliff-dropping to the 3x-slower scan — first halve the
+  window reuse period (halves the drift the window margin must cover,
+  costs only extra cheap window DMAs), then widen the window (resetting
+  the reuse period), and only past the widest supported window (32) fall
+  back to the exact scan marcher.
+
+  Returns (action, window, refetch) with action in
+  {"halve_refetch", "widen_window", "scan"}.
+  """
+  if refetch > 4:
+    return "halve_refetch", window, refetch // 2
+  if window < 32:
+    return "widen_window", min(32, window + 8), 8
+  return "scan", window, refetch
+
+
 def calibrate_march_window(model, variables, batches, candidates=None,
                            annealed_alpha=1.0):
   """Pick the fastest (window, refetch) with zero violations on probes.

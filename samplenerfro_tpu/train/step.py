@@ -229,12 +229,12 @@ def make_loss_fn(model, args):
   return loss_fn
 
 
-def make_train_step(model, args, grid_vars, donate=True):
-  """Build the jitted train step: (rng, state, batch) -> (state, stats, rng).
+def _make_step_body(model, args):
+  """The un-jitted step body: (rng, state, batch, grid) -> (state, stats, rng).
 
-  grid_vars is threaded into the jitted function as an argument (not a
-  closure): captured device arrays become HLO constants, which at 384^3/
-  512^3 grid resolution means a multi-GB executable.
+  Shared between the single-step dispatch and the scanned multi-step
+  dispatch; the rng evolution (one 4-way split per step) is identical in
+  both, so K scanned steps reproduce K sequential dispatches bitwise.
   """
   loss_fn = make_loss_fn(model, args)
 
@@ -256,7 +256,44 @@ def make_train_step(model, args, grid_vars, donate=True):
     new_state = state.apply_gradients(grads=grads)
     return new_state, stats, rng
 
+  return train_step
+
+
+def make_train_step(model, args, grid_vars, donate=True):
+  """Build the jitted train step: (rng, state, batch) -> (state, stats, rng).
+
+  grid_vars is threaded into the jitted function as an argument (not a
+  closure): captured device arrays become HLO constants, which at 384^3/
+  512^3 grid resolution means a multi-GB executable.
+  """
+  train_step = _make_step_body(model, args)
   jitted = jax.jit(train_step, donate_argnums=(1,) if donate else ())
+  return lambda rng, state, batch: jitted(rng, state, batch, grid_vars)
+
+
+def make_train_step_multi(model, args, grid_vars, donate=True):
+  """Jitted K-step dispatch: (rng, state, stacked_batch) -> (state, stats, rng).
+
+  The batch pytree carries a leading step axis (any K; the scan length is
+  baked from the shape at trace time), and the returned Stats leaves are
+  [K] per-step values. One dispatch runs K optimizer steps in a lax.scan,
+  amortizing the per-call host dispatch overhead (the dominant train-loop
+  cost through a remote-TPU tunnel, and a real tail cost on local chips:
+  the reference pays it per step via pmap, train.py:333-341). The rng
+  chain matches K sequential single-step dispatches bitwise.
+  """
+  train_step = _make_step_body(model, args)
+
+  def multi_step(rng, state, batch, grid):
+    def body(carry, b):
+      rng, state = carry
+      state, stats, rng = train_step(rng, state, b, grid)
+      return (rng, state), stats
+
+    (rng, state), stats = jax.lax.scan(body, (rng, state), batch)
+    return state, stats, rng
+
+  jitted = jax.jit(multi_step, donate_argnums=(1,) if donate else ())
   return lambda rng, state, batch: jitted(rng, state, batch, grid_vars)
 
 

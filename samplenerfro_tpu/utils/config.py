@@ -149,6 +149,12 @@ def define_flags():
                        "the number of steps to render a test image.")
   flags.DEFINE_integer("gc_every", 10000,
                        "the number of steps to run garbage collection.")
+  flags.DEFINE_integer(
+      "steps_per_dispatch", 1,
+      "optimizer steps per jitted train dispatch: >1 stacks that many "
+      "batches and lax.scans the step inside one jit call, amortizing the "
+      "per-call host dispatch overhead (bitwise-identical training; "
+      "print/save/render/gc cadences must be multiples of it).")
   flags.DEFINE_integer("precrop_iters", 0,
                        "number of steps to train on central crops.")
   flags.DEFINE_float("precrop_frac", 0.5,
@@ -247,7 +253,14 @@ def define_flags():
 
 
 def update_flags(args):
-  """Overlay YAML config onto flags; reject unknown keys."""
+  """Overlay YAML config onto flags; reject unknown keys.
+
+  Precedence (deliberate improvement over the reference's
+  rnerf/utils.py:248-257, where the yaml clobbers everything): a flag the
+  user EXPLICITLY passed on the command line wins over the yaml overlay —
+  so `--config=scene --max_steps=12000` extends a run without editing the
+  scene yaml (the staged all-stage flow and A/B drivers rely on this).
+  """
   pth = os.path.join(BASE_DIR, args.config + ".yaml")
   with open(pth, "r") as fin:
     configs = yaml.load(fin, Loader=yaml.FullLoader)
@@ -261,6 +274,11 @@ def update_flags(args):
   # march-window fallback ladder and --march_window=0 auto-calibration
   # for yaml-configured keys).
   for k, v in configs.items():
+    try:
+      if args[k].present:  # explicitly set on the command line
+        continue
+    except (KeyError, TypeError, AttributeError):
+      pass  # not a FlagValues container (tests use plain namespaces)
     setattr(args, k, v)
 
 

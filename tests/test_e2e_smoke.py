@@ -10,6 +10,7 @@ import os
 import subprocess
 import sys
 
+import jax
 import numpy as np
 import pytest
 
@@ -54,6 +55,45 @@ def test_train_cli_smoke(scene):
   assert ckpts, os.listdir(stage_dir)
   assert os.path.exists(os.path.join(stage_dir, "flags.yaml"))
   assert os.path.exists(os.path.join(stage_dir, "config.gin"))
+
+
+def test_multi_dispatch_cli_matches_single(scene, tmp_path):
+  """--steps_per_dispatch=3 reproduces the 3-single-step run's checkpoint.
+
+  Same stage/config/seeds as test_train_cli_smoke but all three optimizer
+  steps run inside ONE scanned dispatch; the resulting params must match
+  the sequential run's checkpoint (same math, same rng chain).
+  """
+  base_dir = os.path.join(scene["train"], "radiance_smoke")
+  assert any(f.startswith("checkpoint_") for f in os.listdir(base_dir)), (
+      "baseline train smoke must run first")
+  train_dir = str(tmp_path / "logs_k3")
+  cmd = [
+      sys.executable, os.path.join(REPO, "train.py"),
+      f"--data_dir={scene['data']}",
+      f"--train_dir={train_dir}",
+      f"--config={scene['cfg']}",
+      f"--gin_file={scene['cfg']}.gin",
+      "--stage=radiance_smoke",
+      "--steps_per_dispatch=3", "--print_every=3", "--gc_every=3",
+  ]
+  proc = subprocess.run(cmd, env=_env(), capture_output=True, text=True,
+                        timeout=900, cwd=REPO)
+  assert proc.returncode == 0, proc.stderr[-4000:]
+
+  from flax.training import checkpoints as flax_ckpt
+  a = flax_ckpt.restore_checkpoint(base_dir, target=None)
+  b = flax_ckpt.restore_checkpoint(
+      os.path.join(train_dir, "radiance_smoke"), target=None)
+  assert int(a["step"]) == int(b["step"]) == 3
+  flat_a = jax.tree_util.tree_leaves_with_path(a["params"])
+  flat_b = {jax.tree_util.keystr(k): v
+            for k, v in jax.tree_util.tree_leaves_with_path(b["params"])}
+  assert flat_a and len(flat_a) == len(flat_b)
+  for k, va in flat_a:
+    np.testing.assert_allclose(va, flat_b[jax.tree_util.keystr(k)],
+                               rtol=1e-6, atol=1e-6,
+                               err_msg=jax.tree_util.keystr(k))
 
 
 def test_eval_cli_smoke(scene):

@@ -171,3 +171,24 @@ def test_window_calibration():
   # Every candidate probed before the chosen one must have violations.
   for cand in cands[:cands.index(chosen)]:
     assert results[cand] > 0
+
+
+def test_ladder_step_down_policy():
+  """--march_oow_action=fallback walks refetch-halving -> widening -> scan."""
+  from samplenerfro_tpu.train import calibrate
+
+  # Full walk from the production (24, 8) rung.
+  assert calibrate.ladder_step_down(24, 8) == ("halve_refetch", 24, 4)
+  assert calibrate.ladder_step_down(24, 4) == ("widen_window", 32, 8)
+  assert calibrate.ladder_step_down(32, 8) == ("halve_refetch", 32, 4)
+  assert calibrate.ladder_step_down(32, 4) == ("scan", 32, 4)
+  # Widening never overshoots the cap.
+  assert calibrate.ladder_step_down(28, 4) == ("widen_window", 32, 8)
+  # The small-window start has the longest runway.
+  w, r, hops = 8, 8, 0
+  while True:
+    action, w, r = calibrate.ladder_step_down(w, r)
+    hops += 1
+    if action == "scan":
+      break
+  assert hops == 8, hops

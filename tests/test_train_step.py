@@ -122,6 +122,63 @@ def test_sharded_step_matches_single_device():
       np.array(s2.params["coarse_mlp"]["Dense_0"]["kernel"]), atol=5e-4)
 
 
+def test_multi_step_dispatch_matches_sequential():
+  """K scanned steps in one dispatch == K sequential single dispatches.
+
+  make_train_step_multi shares the step body AND the rng split schedule
+  with make_train_step, so the whole (state, rng) evolution must agree to
+  float tolerance (same device, same reduction order -> near-bitwise).
+  """
+  model, state, grid_vars, rays, args = _setup()
+  tstep = step_lib.make_train_step(model, args, grid_vars, donate=False)
+  tmulti = step_lib.make_train_step_multi(model, args, grid_vars,
+                                          donate=False)
+  k = 3
+  batches = [helpers.make_batch(rays, seed=s) for s in range(k)]
+
+  seq_state, seq_rng = state, random.PRNGKey(3)
+  seq_stats = []
+  for b in batches:
+    seq_state, stats, seq_rng = tstep(seq_rng, seq_state, b)
+    seq_stats.append(float(stats.loss))
+
+  stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+  mstate, mstats, mrng = tmulti(random.PRNGKey(3), state, stacked)
+
+  np.testing.assert_array_equal(np.array(seq_rng), np.array(mrng))
+  np.testing.assert_allclose(np.asarray(mstats.loss), np.asarray(seq_stats),
+                             rtol=1e-6)
+  jax.tree_util.tree_map(
+      lambda a, b: np.testing.assert_allclose(np.array(a), np.array(b),
+                                              atol=1e-6),
+      seq_state.params, mstate.params)
+
+
+def test_multi_step_dispatch_sharded_on_mesh():
+  """The stacked-batch layout shards rays on axis 1 and runs on the mesh."""
+  model, state, grid_vars, rays, args = _setup()
+  tmulti = step_lib.make_train_step_multi(model, args, grid_vars,
+                                          donate=False)
+  batches = [helpers.make_batch(rays, seed=s) for s in range(2)]
+  stacked = jax.tree_util.tree_map(
+      lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches)
+
+  mesh = mesh_lib.make_mesh(jax.devices("cpu"))
+  spec = mesh_lib.shard_batch_spec(mesh, stacked, stacked=True)
+  # Ray leaves shard axis 1; the step axis and scalars stay replicated.
+  assert spec["pixels"].spec == jax.sharding.PartitionSpec(None, "batch")
+  assert spec["annealed_alpha"].spec == jax.sharding.PartitionSpec()
+  assert spec["pts"].spec == jax.sharding.PartitionSpec()
+
+  sharded = mesh_lib.put_batch(stacked, mesh, stacked=True)
+  repl = mesh_lib.replicated_sharding(mesh)
+  state_r = jax.device_put(state, repl)
+  mstate, mstats, _ = tmulti(jax.device_put(random.PRNGKey(3), repl),
+                             state_r, sharded)
+  assert np.all(np.isfinite(np.asarray(mstats.loss)))
+  assert np.asarray(mstats.loss).shape == (2,)
+
+
 def test_ior_stage_runs():
   args = helpers.tiny_args(stage="ior_test")
   model, state, grid_vars, rays, args = _setup(args)

@@ -102,7 +102,20 @@ def main(unused_argv):
   mesh = mesh_lib.make_mesh()
   grid_vars = {"grid": mesh_lib.replicate(dict(variables["grid"]), mesh)}
 
-  train_pstep = step_lib.make_train_step(train_model, FLAGS, grid_vars)
+  # Multi-step dispatch: stack K batches and lax.scan the step inside ONE
+  # jit call. Training math and the rng chain are identical to K sequential
+  # dispatches; only the host-side dispatch overhead is amortized (the
+  # dominant loop cost through a remote-TPU tunnel, a tail cost locally).
+  K = max(1, FLAGS.steps_per_dispatch)
+  if K > 1:
+    for name in ("print_every", "save_every", "gc_every", "render_every"):
+      val = getattr(FLAGS, name)
+      if val > 0 and val % K != 0:
+        raise ValueError(f"--{name}={val} must be a multiple of "
+                         f"--steps_per_dispatch={K}.")
+  make_step = (step_lib.make_train_step_multi if K > 1
+               else step_lib.make_train_step)
+  train_pstep = make_step(train_model, FLAGS, grid_vars)
   render_fn = step_lib.make_render_fn(model, FLAGS, grid_vars, mesh=mesh)
   tiled_training = train_model.march_mode in ("tiled", "pallas")
 
@@ -164,17 +177,45 @@ def main(unused_argv):
     batch["fine_alpha_target"] = np.float32(0.0)
     return batch
 
-  batches = prefetch.device_prefetch(next_host_batch, mesh, size=3)
+  if K > 1:
+    # Dispatch windows align to the global K grid (a resume from an
+    # off-grid checkpoint gets one shorter first window, the tail at
+    # max_steps one shorter last window; jit re-specializes per length).
+    win_start = [init_step]
+
+    def next_host_superbatch():
+      s = win_start[0]
+      if s > FLAGS.max_steps:
+        return None
+      end = min(FLAGS.max_steps, ((s - 1) // K + 1) * K)
+      win_start[0] = end + 1
+      bs = [next_host_batch() for _ in range(end - s + 1)]
+      return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *bs)
+
+    batches = prefetch.device_prefetch(next_host_superbatch, mesh, size=3,
+                                       stacked=True)
+  else:
+    batches = prefetch.device_prefetch(next_host_batch, mesh, size=3)
+
+  def dispatch_windows():
+    s = init_step
+    while s <= FLAGS.max_steps:
+      e = min(FLAGS.max_steps, ((s - 1) // K + 1) * K) if K > 1 else s
+      yield s, e
+      s = e + 1
 
   oow_trace = []  # device scalars; fetched (and policed) at print cadence
-  for step, batch in zip(range(init_step, FLAGS.max_steps + 1), batches):
+  oow_first_step = init_step
+  profile_stopped = False
+  for (wstart, step), batch in zip(dispatch_windows(), batches):
     if reset_timer:
       t_loop_start = time.time()
       reset_timer = False
     lr = learning_rate_fn(step)
     state, stats, keys = train_pstep(keys, state, batch)
     if jax.process_index() == 0:
-      # Keep device arrays; fetching here would sync every step.
+      # Keep device arrays; fetching here would sync every step. Under
+      # K-step dispatch each entry's leaves carry a leading step axis.
       stats_trace.append(stats)
     if tiled_training:
       # Window-violation policy: the tiled marcher counts every clamped
@@ -183,9 +224,11 @@ def main(unused_argv):
       # are no longer exact. EVERY step's count is kept (as an unfetched
       # device scalar — no sync) and the accumulated total is policed at
       # print cadence, so violations between prints cannot slip through.
+      if not oow_trace:
+        oow_first_step = wstart
       oow_trace.append(stats.march_oow)
     if tiled_training and step % FLAGS.print_every == 0:
-      first_step = step - len(oow_trace) + 1
+      first_step = oow_first_step
       oow = int(np.sum(jax.device_get(oow_trace)))
       oow_trace = []
       if oow > 0:
@@ -203,21 +246,19 @@ def main(unused_argv):
               "--march_window=0 (auto-calibrate), or --march_mode=scan.")
         if FLAGS.march_oow_action == "fallback":
           # Step DOWN the marcher ladder instead of cliff-dropping to the
-          # 3x-slower scan: first halve the window reuse period (halves
-          # the drift the margin must cover), then widen the window (which
-          # resets the reuse period), and only past the largest window
-          # fall back to the exact scan.
-          if cur_refetch > 4:
-            cur_refetch //= 2
+          # 3x-slower scan (policy + rationale: calibrate.ladder_step_down).
+          from samplenerfro_tpu.train import calibrate
+          action, nwin, nref = calibrate.ladder_step_down(cur_window,
+                                                          cur_refetch)
+          if action == "halve_refetch":
             print("WARNING: " + msg + "; halving --march_refetch to "
-                  f"{cur_refetch} (drift per window reuse halves).")
-            train_model = train_model.clone(march_refetch=cur_refetch)
-          elif cur_window < 32:
-            cur_window = min(32, cur_window + 8)
+                  f"{nref} (drift per window reuse halves).")
+            train_model = train_model.clone(march_refetch=nref)
+          elif action == "widen_window":
             print("WARNING: " + msg + "; widening --march_window to "
-                  f"{cur_window}.")
-            train_model = train_model.clone(march_window=cur_window,
-                                            march_refetch=8)
+                  f"{nwin}.")
+            train_model = train_model.clone(march_window=nwin,
+                                            march_refetch=nref)
           else:
             print("WARNING: " + msg + "; falling back to the exact scan "
                   "marcher for the rest of training.")
@@ -225,19 +266,25 @@ def main(unused_argv):
             tiled_training = False
           FLAGS.march_window = train_model.march_window
           FLAGS.march_refetch = train_model.march_refetch
-          train_pstep = step_lib.make_train_step(train_model, FLAGS,
-                                                 grid_vars)
+          train_pstep = make_step(train_model, FLAGS, grid_vars)
         else:
           print("WARNING: " + msg)
     if step % FLAGS.gc_every == 0:
       gc.collect()
 
-    if FLAGS.profile and step == init_step + 5:
+    if FLAGS.profile and step >= init_step + 5 and not profile_stopped:
       jax.block_until_ready(state.params)
       jax.profiler.stop_trace()
+      profile_stopped = True
 
     if jax.process_index() == 0 and step % FLAGS.print_every == 0:
       stats_trace = jax.device_get(stats_trace)
+      if K > 1:
+        # Unstack each dispatch's [k]-leaved Stats into per-step entries.
+        stats_trace = [
+            jax.tree_util.tree_map(lambda x: np.asarray(x)[i], st)
+            for st in stats_trace
+            for i in range(np.asarray(st.loss).shape[0])]
       stats_np = stats_trace[-1]
       summary_writer.scalar("train_loss", stats_np.loss, step)
       summary_writer.scalar("train_psnr", stats_np.psnr, step)
