@@ -114,3 +114,35 @@ def test_refractive_rescale_rule():
   assert grid_io.refractive_rescale_factor(
       "configs/torus_skydome-bkgd_cycles") == 0.33
   assert grid_io.refractive_rescale_factor(None) == 0.5
+
+
+def test_update_flags_cli_wins_over_yaml(tmp_path):
+  """Explicit CLI flags beat the yaml overlay; unset flags take yaml values.
+
+  Regression: the yaml used to clobber everything, which made
+  `--config=scene --max_steps=<extended>` a silent no-op — the +10k
+  all-stage flow (validate_quality.py --all_steps) trained ZERO steps.
+  """
+  from absl import flags as absl_flags
+  fv = absl_flags.FlagValues()
+  absl_flags.DEFINE_integer("max_steps", 100, "", flag_values=fv)
+  absl_flags.DEFINE_integer("batch_size", 1, "", flag_values=fv)
+  absl_flags.DEFINE_string("config", None, "", flag_values=fv)
+  (tmp_path / "scene.yaml").write_text("max_steps: 2000\nbatch_size: 64\n")
+  fv(["prog", f"--config={tmp_path}/scene", "--max_steps=12000"])
+  config_lib.update_flags(fv)
+  assert fv.max_steps == 12000  # explicitly passed: CLI wins
+  assert fv.batch_size == 64    # not passed: yaml overlay applies
+  # Later programmatic assignment still works (no __dict__ shadowing).
+  fv.batch_size = 128
+  assert fv.batch_size == 128
+
+
+def test_update_flags_namespace_fallback(tmp_path):
+  """Plain-namespace args (tests/tools) still take every yaml value."""
+  import types
+  args = types.SimpleNamespace(max_steps=100, batch_size=1,
+                               config=str(tmp_path / "scene"))
+  (tmp_path / "scene.yaml").write_text("max_steps: 2000\nbatch_size: 64\n")
+  config_lib.update_flags(args)
+  assert args.max_steps == 2000 and args.batch_size == 64
