@@ -231,6 +231,57 @@ def measure_train(args, grid_n, n_steps=20):
   return BATCH * n_steps / dt, info
 
 
+def measure_train_loop(args, grid_n, k=1, n_steps=40):
+  """Wall-clock rays/s of a production-shaped train LOOP.
+
+  Unlike measure_train (fixed device-resident batch; async dispatch hides
+  the per-call host cost), this feeds a FRESH device batch per step
+  through the threaded prefetch exactly like train.py — so it pays the
+  real per-step H2D + dispatch path — and runs k optimizer steps per
+  jitted call (--steps_per_dispatch). The k=10 vs k=1 delta is the
+  dispatch-amortization win a train.py user sees.
+  """
+  from samplenerfro_tpu.data import prefetch as prefetch_lib
+  model, state, grid_vars, mesh, batch = _build(args, grid_n)
+  if args.march_mode in ("tiled", "pallas") and args.march_window == 0:
+    from samplenerfro_tpu.train import calibrate
+    variables = {"params": state.params, **grid_vars}
+    (w, r), _ = calibrate.calibrate_march_window(
+        model, variables, [{"rays": batch["rays"]}])
+    model = model.clone(march_window=w, march_refetch=r)
+    args.march_window, args.march_refetch = w, r
+  make = (step_lib.make_train_step_multi if k > 1
+          else step_lib.make_train_step)
+  tstep = make(model, args, grid_vars)
+  host_batch = jax.tree_util.tree_map(np.asarray, batch)
+  if k > 1:
+    host_batch = jax.tree_util.tree_map(
+        lambda x: np.stack([x] * k), host_batch)
+  warmup = 3
+  n_disp = n_steps // k
+  served = [0]
+
+  def batch_fn():
+    if served[0] >= warmup + n_disp:
+      return None
+    served[0] += 1
+    return host_batch
+
+  batches = prefetch_lib.device_prefetch(batch_fn, mesh, size=3,
+                                         stacked=(k > 1))
+  it = iter(batches)
+  keys = random.PRNGKey(1)
+  for _ in range(warmup):
+    state, stats, keys = tstep(keys, state, next(it))
+  jax.block_until_ready(state.params)
+  t0 = time.perf_counter()
+  for _ in range(n_disp):
+    state, stats, keys = tstep(keys, state, next(it))
+  jax.block_until_ready(state.params)
+  dt = time.perf_counter() - t0
+  return BATCH * n_disp * k / dt
+
+
 def measure_eval(args, grid_n, res=800, chunk=8192):
   """Rays/s of the chunked tile-reordered full-image render."""
   from samplenerfro_tpu.utils import render as render_lib
@@ -377,6 +428,18 @@ def main():
           measure_eval(production_args(), GRID_N)[0], 1)
     except Exception as e:  # noqa: BLE001
       record["eval_error"] = f"{type(e).__name__}: {e}"[:200]
+    # Production train-LOOP throughput (fresh batch per step through the
+    # prefetch): k=1 is the single-step-dispatch loop, k=10 the
+    # --steps_per_dispatch=10 loop. args carries the headline run's
+    # calibrated window, so no re-calibration.
+    for k in (1, 10):
+      try:
+        record[f"inloop_k{k}_rays_per_sec"] = round(
+            measure_train_loop(production_args(
+                window=args.march_window,
+                march_refetch=args.march_refetch), GRID_N, k=k), 1)
+      except Exception as e:  # noqa: BLE001
+        record[f"inloop_k{k}_error"] = f"{type(e).__name__}: {e}"[:200]
 
   print(json.dumps({
       "metric": "train_rays_per_sec",
