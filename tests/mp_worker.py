@@ -67,6 +67,21 @@ def main():
   state, stats, _ = tstep(random.PRNGKey(3), state, dbatch)
   loss = float(jax.device_get(stats.loss))
 
+  # Multi-step dispatch from a stacked batch (rays sharded on axis 1,
+  # assembled per process via make_array_from_process_local_data when
+  # nproc > 1). The scanned first step must reproduce the single-step
+  # loss bitwise (same body, same rng schedule).
+  tmulti = step_lib.make_train_step_multi(model, args, grid_vars,
+                                          donate=False)
+  stacked = jax.tree_util.tree_map(
+      lambda x: np.stack([np.asarray(x)] * 2), local_batch)
+  dstacked = mesh_lib.put_batch(stacked, mesh, stacked=True)
+  state0 = TrainState.create(apply_fn=model.apply,
+                             params=variables["params"], tx=tx)
+  state0 = mesh_lib.replicate(state0, mesh)
+  _, mstats, _ = tmulti(random.PRNGKey(3), state0, dstacked)
+  multi_loss0 = float(jax.device_get(mstats.loss)[0])
+
   render_fn = step_lib.make_render_fn(model, args, grid_vars, mesh=mesh)
   rng_ = np.random.RandomState(7)
   d = rng_.randn(4, 6, 3)
@@ -81,7 +96,7 @@ def main():
 
   if pid == 0:
     np.savez(out_path, loss=np.float32(loss), rgb=np.asarray(rgb),
-             acc=np.asarray(acc))
+             acc=np.asarray(acc), multi_loss0=np.float32(multi_loss0))
   print(f"worker {pid}/{nproc} done loss={loss:.6f}", flush=True)
 
 

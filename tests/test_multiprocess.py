@@ -58,3 +58,9 @@ def test_two_process_train_and_render_match_single_process(tmp_path):
   np.testing.assert_allclose(a["loss"], b["loss"], atol=1e-5, rtol=1e-5)
   np.testing.assert_allclose(a["rgb"], b["rgb"], atol=1e-5)
   np.testing.assert_allclose(a["acc"], b["acc"], atol=1e-5)
+  # Multi-step dispatch (stacked batch, rays sharded on axis 1): step 1 of
+  # the scanned dispatch reproduces the single-step loss in BOTH runs.
+  np.testing.assert_allclose(a["multi_loss0"], a["loss"], atol=1e-5,
+                             rtol=1e-5)
+  np.testing.assert_allclose(a["multi_loss0"], b["multi_loss0"], atol=1e-5,
+                             rtol=1e-5)
