@@ -52,6 +52,8 @@ Baseline provenance (both labeled in the JSON):
 
 import json
 import os
+import subprocess
+import sys
 import time
 import types
 
@@ -346,8 +348,43 @@ def production_args(stage="radiance_bench", window=None, **over):
                    mlp_kernel=mlp_kernel, stage=stage, **over)
 
 
+def wait_for_backend():
+  """Wait (bounded) for the TPU tunnel before touching the backend.
+
+  The axon tunnel has multi-hour outages, and an in-process backend-init
+  failure poisons the whole process (a hung init can sit ~25 min before
+  raising). Probe from a SUBPROCESS with a hard timeout so this process
+  first touches jax.devices() only once a probe has succeeded. Bounded by
+  BENCH_WAIT_TPU_SECS (default 1800); 0 disables the probe entirely.
+  """
+  if os.environ.get("SAMPLENERFRO_FORCE_CPU") == "1":
+    return
+  budget = float(os.environ.get("BENCH_WAIT_TPU_SECS", "1800"))
+  if budget <= 0:
+    return
+  deadline = time.time() + budget
+  while True:
+    try:
+      ok = subprocess.run(
+          [sys.executable, "-c", "import jax; jax.devices()"],
+          timeout=300, stdout=subprocess.DEVNULL,
+          stderr=subprocess.DEVNULL).returncode == 0
+    except subprocess.TimeoutExpired:
+      ok = False
+    if ok:
+      return
+    if time.time() >= deadline:
+      print("bench.py: TPU backend unavailable after waiting "
+            f"{budget:.0f}s; giving up.", file=sys.stderr)
+      raise SystemExit(1)
+    print("bench.py: TPU backend down; retrying in 60s "
+          f"(deadline in {deadline - time.time():.0f}s)", file=sys.stderr)
+    time.sleep(60)
+
+
 def main():
   record = {}
+  wait_for_backend()
 
   if os.environ.get("BENCH_CHECK", "1") != "0":
     # On-device correctness gate (see module docstring): raises on
