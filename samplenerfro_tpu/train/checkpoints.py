@@ -83,6 +83,39 @@ def convert_reference_checkpoint(ckpt):
   return int(ckpt["step"]), convert_reference_params(ckpt["params"]["params"])
 
 
+def export_reference_params(params):
+  """Convert our params tree to the reference repo's layout.
+
+  Inverse of convert_reference_params: the radiance MLPs copy through
+  (shared Dense_i naming), and path_sampler/so3_mlp re-nests under
+  path_sampler/scan/idx_model/so3_mlp with Dense_out renamed back to the
+  last Dense_<i> (rnerf/models.py:91-131, ior_utils.py:148).
+  """
+  params = flax.core.unfreeze(params)
+  out = {k: params[k]
+         for k in ("bkgd_mlp", "coarse_mlp", "fine_mlp") if k in params}
+  if "path_sampler" in params:
+    so3 = dict(params["path_sampler"]["so3_mlp"])
+    idxs = [int(k.split("_", 1)[1]) for k in so3 if k != "Dense_out"]
+    so3[f"Dense_{max(idxs) + 1}"] = so3.pop("Dense_out")
+    out["path_sampler"] = {"scan": {"idx_model": {"so3_mlp": so3}}}
+  return out
+
+
+def export_reference_checkpoint(out_dir, params, step, keep=100):
+  """Write a reference-layout checkpoint the original code can consume.
+
+  Produces checkpoint_<step> (flax msgpack) under out_dir with the
+  double-"params" nesting the reference's eval surgery reads
+  (eval.py:124-152: restore_checkpoint(..., None) then
+  ckpt["params"]["params"][subtree]). Returns the file path.
+  """
+  ckpt = {"step": int(step),
+          "params": {"params": export_reference_params(params)}}
+  return flax_ckpt.save_checkpoint(
+      os.path.abspath(out_dir), ckpt, int(step), keep=keep, overwrite=True)
+
+
 def load_stage_variables(variables, train_dir, cfg, stage, num_fine_samples):
   """Merge pretrained stage checkpoints into a fresh variables tree.
 

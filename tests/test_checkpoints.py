@@ -83,6 +83,43 @@ def test_stage_surgery_radiance_and_all(tmp_path):
                ["kernel"]) + 1.0)
 
 
+def test_export_reference_roundtrip(tmp_path):
+  """Export-to-reference-layout is the exact inverse of the importer.
+
+  The exported file must (a) satisfy is_reference_layout, (b) support the
+  reference eval surgery's access pattern (eval.py:124-152:
+  ckpt["params"]["params"][subtree]), and (c) round-trip through
+  convert_reference_checkpoint to the original params bit-exactly.
+  """
+  from flax.training import checkpoints as flax_ckpt
+
+  args = helpers.tiny_args()
+  _, _, state = _make_state(args)
+  out_dir = str(tmp_path / "export")
+  os.makedirs(out_dir)
+  ckpt_lib.export_reference_checkpoint(out_dir, state.params, 42)
+
+  restored = flax_ckpt.restore_checkpoint(out_dir, None)
+  assert ckpt_lib.is_reference_layout(restored)
+  inner = restored["params"]["params"]
+  assert int(restored["step"]) == 42
+  # Reference surgery access pattern: the so3 head lives under
+  # path_sampler/scan/idx_model/so3_mlp with contiguous Dense_<i> names
+  # (no Dense_out).
+  so3 = inner["path_sampler"]["scan"]["idx_model"]["so3_mlp"]
+  idxs = sorted(int(k.split("_", 1)[1]) for k in so3)
+  assert idxs == list(range(len(idxs))) and "Dense_out" not in so3
+
+  step, params = ckpt_lib.convert_reference_checkpoint(restored)
+  assert step == 42
+  flat_orig = jax.tree_util.tree_leaves_with_path(
+      jax.tree_util.tree_map(np.asarray, dict(state.params)))
+  flat_rt = dict(jax.tree_util.tree_leaves_with_path(params))
+  assert len(flat_orig) == len(flat_rt)
+  for path_key, leaf in flat_orig:
+    np.testing.assert_array_equal(leaf, flat_rt[path_key])
+
+
 def test_surgery_merged_params_usable(tmp_path):
   """Surgery output still runs a forward pass (structure intact)."""
   args = helpers.tiny_args()
