@@ -85,6 +85,9 @@ class NerfModel(nn.Module):
   ps_unroll: int = 8
   march_mode: str = "scan"
   march_bwd_dtype: str = "float32"
+  # "all"-stage reverse-sweep implementation ("auto" defers to
+  # $EIKVJP_IMPL); see models/path_sampler.py.
+  march_bwd_impl: str = "auto"
   tile_block: int = 256
   march_window: int = 16
   march_refetch: int = 8
@@ -146,6 +149,7 @@ class NerfModel(nn.Module):
         unroll=self.ps_unroll,
         march_mode=self.march_mode,
         march_bwd_dtype=self.march_bwd_dtype,
+        march_bwd_impl=self.march_bwd_impl,
         tile_block=self.tile_block,
         march_window=self.march_window,
         march_refetch=self.march_refetch,
@@ -547,6 +551,7 @@ def construct_nerf(key, example_batch, args, ndim, nmin, nmax, grid,
       ps_unroll=int(getattr(args, "scan_unroll", 8)),
       march_mode=str(getattr(args, "march_mode", "scan")),
       march_bwd_dtype=str(getattr(args, "march_bwd_dtype", "float32")),
+      march_bwd_impl=str(getattr(args, "march_bwd_impl", "auto")),
       mlp_dtype=str(getattr(args, "mlp_dtype", "float32")),
       mlp_remat=bool(getattr(args, "mlp_remat", False)),
       mlp_kernel=str(getattr(args, "mlp_kernel", "xla")),

@@ -86,6 +86,11 @@ class PathSampler(nn.Module):
   # bfloat16 is the fast production path (same precision story as the
   # bf16 radiance MLPs, quality-gate via scripts/validate_quality.py).
   march_bwd_dtype: str = "float32"
+  # Reverse-sweep implementation for the "all" stage: stepvjp | passes |
+  # pallas (ops/eikonal_vjp.py; all parity-tested vs autodiff). "auto"
+  # defers to $EIKVJP_IMPL (default stepvjp, the measured production
+  # choice on v5e).
+  march_bwd_impl: str = "auto"
   # "lean" emits only the densely-consumed pos/dir/arclength channels from
   # the fused kernel and subsamples the jittered coarse points IN-KERNEL
   # (march_kernel.march_tiled_pallas_lean) when the caller passes the
@@ -234,6 +239,8 @@ class PathSampler(nn.Module):
           (self.min_deg_point, self.max_deg_point, self.annealed,
            self.use_residual, self.use_direct_output, self.normalized),
           self.march_mode, bwd_dtype=self.march_bwd_dtype,
+          bwd_impl=(None if self.march_bwd_impl == "auto"
+                    else self.march_bwd_impl),
           fwd_interp=self.march_interp)
       pos, dirs, dist, n, g, oow = march(
           self.grid3d.value, origins, directions,

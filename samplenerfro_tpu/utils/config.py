@@ -232,6 +232,14 @@ def define_flags():
                     "sweep's batched Jacobian/parameter passes "
                     "(ops/eikonal_vjp.py); float32 matches autodiff "
                     "exactly, bfloat16 is the fast production path.")
+  flags.DEFINE_enum("march_bwd_impl", "auto",
+                    ["auto", "stepvjp", "passes", "pallas"],
+                    "'all'-stage reverse-sweep implementation "
+                    "(ops/eikonal_vjp.py): stepvjp (per-step adjoint in "
+                    "the reverse scan), passes (batched three-pass XLA "
+                    "formulation; measured slower on v5e), pallas (fused "
+                    "Mosaic reverse kernel). auto defers to $EIKVJP_IMPL "
+                    "(default stepvjp). All parity-tested vs autodiff.")
   flags.DEFINE_enum("mlp_dtype", "float32", ["float32", "bfloat16"],
                     "radiance-MLP compute dtype (params stay fp32); "
                     "bfloat16 is an opt-in fast path, quality-gate it on "

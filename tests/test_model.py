@@ -27,6 +27,15 @@ def test_param_tree_layout():
   assert "so3_mlp" in variables["params"]["path_sampler"]
 
 
+def test_march_bwd_impl_threads_to_path_sampler():
+  """--march_bwd_impl reaches the model and its path sampler config."""
+  model, _, _, _ = _build(helpers.tiny_args(march_bwd_impl="pallas"))
+  assert model.march_bwd_impl == "pallas"
+  # Default ("auto") defers to $EIKVJP_IMPL inside make_march_allstage.
+  model_d, _, _, _ = _build()
+  assert model_d.march_bwd_impl == "auto"
+
+
 def test_forward_shapes_and_finite():
   model, variables, rays, _ = _build()
   ret, loss_sp = model.apply(
