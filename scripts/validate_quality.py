@@ -85,6 +85,10 @@ def main():
   p.add_argument("--march_bwd_dtype", default="float32",
                  choices=["float32", "bfloat16"],
                  help="all-stage reverse-sweep dtype (ops/eikonal_vjp.py)")
+  p.add_argument("--march_bwd_impl", default="auto",
+                 choices=["auto", "stepvjp", "passes", "pallas"],
+                 help="all-stage reverse-sweep implementation (gradient-"
+                 "fidelity A/B knob; ops/eikonal_vjp.py)")
   p.add_argument("--march_interp", default="highest",
                  choices=["highest", "high", "default"],
                  help="fused-march interpolation precision (A/B knob)")
@@ -106,6 +110,8 @@ def main():
     tag += f"_{args.mlp_dtype}"
   if args.march_interp != "highest":
     tag += f"_interp-{args.march_interp}"
+  if args.march_bwd_impl != "auto":
+    tag += f"_bwd-{args.march_bwd_impl}"
   cfg_base = os.path.join(args.workdir, f"cfg_{tag}")
   with open(cfg_base + ".yaml", "w") as f:
     # Annealing window scales with the budget (the reference anneals over
@@ -165,7 +171,8 @@ def main():
              f"--stage={all_stage}", f"--max_steps={total}",
              f"--save_every={total}",
              f"--march_interp={args.march_interp}",
-             f"--march_bwd_dtype={args.march_bwd_dtype}"] + extra
+             f"--march_bwd_dtype={args.march_bwd_dtype}",
+             f"--march_bwd_impl={args.march_bwd_impl}"] + extra
       print("running", cmd_name, "...")
       proc = subprocess.run(cmd, env=env, cwd=REPO)
       if proc.returncode != 0:
