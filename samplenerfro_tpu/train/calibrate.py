@@ -61,8 +61,9 @@ def maybe_autocalibrate(model, variables, flags, probe_batches):
 # fall back to the slower XLA tiled marcher, so the pallas ladder skips
 # them.
 CANDIDATES = ((8, 8), (8, 4), (10, 8), (12, 8), (12, 4), (16, 8), (16, 4),
-              (20, 8), (24, 8), (24, 4))
-CANDIDATES_PALLAS = ((8, 8), (8, 4), (16, 8), (16, 4), (24, 8), (24, 4))
+              (20, 8), (24, 8), (24, 4), (28, 8), (32, 8), (32, 4))
+CANDIDATES_PALLAS = ((8, 8), (8, 4), (16, 8), (16, 4), (24, 8), (24, 4),
+                     (32, 8), (32, 4))
 
 
 def ladder_step_down(window, refetch):

@@ -173,6 +173,20 @@ def test_window_calibration():
     assert results[cand] > 0
 
 
+def test_calibration_ladder_reaches_runtime_fallback_ceiling():
+  """The probe ladders reach the same w32 ceiling as ladder_step_down.
+
+  Otherwise a scene needing >24-voxel coverage would calibrate to a DIRTY
+  w24 (fewest clamps) while the runtime fallback policy claims w32 exists.
+  """
+  from samplenerfro_tpu.train import calibrate
+  assert calibrate.CANDIDATES[-1][0] == 32
+  assert calibrate.CANDIDATES_PALLAS[-1][0] == 32
+  # Every pallas candidate must satisfy the kernel's alignment rule
+  # (window + 8 divisible by 8 <=> window % 8 == 0).
+  assert all(w % 8 == 0 for w, _ in calibrate.CANDIDATES_PALLAS)
+
+
 def test_ladder_step_down_policy():
   """--march_oow_action=fallback walks refetch-halving -> widening -> scan."""
   from samplenerfro_tpu.train import calibrate

@@ -31,7 +31,7 @@ def _pencil(nrays=16, spread=0.002):
   return jnp.asarray(o), jnp.asarray(d)
 
 
-@pytest.mark.parametrize("window", [8, 16])
+@pytest.mark.parametrize("window", [8, 16, 32])
 def test_pallas_march_matches_xla_tiled(window):
   spec, data = _setup()
   o, d = _pencil()
