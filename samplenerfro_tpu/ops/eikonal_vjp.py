@@ -147,33 +147,44 @@ def _make_march_allstage(spec, near, step_size, num_samples, block_size,
   exact_bwd = bdt == jnp.float32
 
   def _run_fwd(data3d, origins, directions, alpha, so3_params):
+    """Returns (pos, dirs_raw, dist, nvals, g, oow, raw_or_None).
+
+    `raw` is the fused forward kernel's march-layout [nb, S, 11, R]
+    trajectory, kept ONLY for the pallas reverse sweep (it is its exact
+    streaming layout, so the backward skips the per-ray -> march-layout
+    re-pack — one fewer full pass over the [batch, S, 11] arrays).
+    """
     if (fwd_mode == "pallas" and pallas_so3_ok
         and jax.default_backend() == "tpu"
         and march_kernel.supports(spec, num_samples, origins.shape[0],
                                   block_size, window, refetch_every)):
-      return march_kernel.march_tiled_pallas(
+      out = march_kernel.march_tiled_pallas(
           spec, data3d, origins, directions, near, step_size, num_samples,
           block_size=block_size, window=window,
           refetch_every=refetch_every, so3_params=so3_params,
           annealed_alpha=alpha, max_deg=max_deg, normalize_dirs=False,
-          interp_precision=fwd_interp)
+          interp_precision=fwd_interp, with_raw=(bwd_impl == "pallas"))
+      if bwd_impl == "pallas":
+        return out
+      return out + (None,)
     pred = lambda rp, g: so3_apply(so3_params, alpha, rp, g)
     return eikt.march_tiled(
         spec, data3d, origins, directions, near, step_size, num_samples,
         block_size=block_size, window=window, refetch_every=refetch_every,
-        pred_grad_fn=pred, use_pred_grad=True, normalize_dirs=False)
+        pred_grad_fn=pred, use_pred_grad=True,
+        normalize_dirs=False) + (None,)
 
   @jax.custom_vjp
   def march(data3d, origins, directions, alpha, so3_params):
-    pos, dirs_raw, dist, nvals, g, oow = _run_fwd(
+    pos, dirs_raw, dist, nvals, g, oow, _raw = _run_fwd(
         data3d, origins, directions, alpha, so3_params)
     return (pos, math_ops.safe_l2_normalize(dirs_raw), dist, nvals, g, oow)
 
   def fwd(data3d, origins, directions, alpha, so3_params):
-    pos, dirs_raw, dist, nvals, g, oow = _run_fwd(
+    pos, dirs_raw, dist, nvals, g, oow, raw = _run_fwd(
         data3d, origins, directions, alpha, so3_params)
     out = (pos, math_ops.safe_l2_normalize(dirs_raw), dist, nvals, g, oow)
-    res = (data3d, alpha, so3_params, pos, dirs_raw, nvals, g)
+    res = (data3d, alpha, so3_params, pos, dirs_raw, nvals, g, raw)
     return out, res
 
   embed, head = make_so3_parts(*so3_key)
@@ -202,7 +213,7 @@ def _make_march_allstage(spec, near, step_size, num_samples, block_size,
     is reassociated), so it matches jax.grad of the tiled forward to fp32
     round-off (tests/test_eikonal_vjp.py, train/selfcheck.py on device).
     """
-    data3d, alpha, so3_params, pos, dirs_raw, nvals, g = res
+    data3d, alpha, so3_params, pos, dirs_raw, nvals, g, _raw = res
     dpos, ddirs, ddist, dn, dg, _doow = cts
     batch = pos.shape[0]
     nb = batch // block_size
@@ -416,7 +427,7 @@ def _make_march_allstage(spec, near, step_size, num_samples, block_size,
   # in-scan small matmuls well, so it is competitive with the batched
   # three-pass formulation; EIKVJP_IMPL picks at trace time.
   def bwd_stepvjp(res, cts):
-    data3d, alpha, so3_params, pos, dirs_raw, nvals, g = res
+    data3d, alpha, so3_params, pos, dirs_raw, nvals, g, _raw = res
     dpos, ddirs, ddist, dn, dg, _doow = cts
     batch = pos.shape[0]
     nb = batch // block_size
@@ -553,7 +564,7 @@ def _make_march_allstage(spec, near, step_size, num_samples, block_size,
     what bounds both XLA formulations on v5e). Falls back to the stepvjp
     sweep when the configuration is outside the kernel's support.
     """
-    data3d, alpha, so3_params, pos, dirs_raw, nvals, g = res
+    data3d, alpha, so3_params, pos, dirs_raw, nvals, g, raw = res
     if not (pallas_so3_ok and march_bwd_kernel.supports(
         spec, num_samples, pos.shape[0], block_size, window,
         refetch_every)):
@@ -569,7 +580,8 @@ def _make_march_allstage(spec, near, step_size, num_samples, block_size,
             spec, data3d, pos, dirs_raw, nvals, g, dpos, ddirs_raw, dn, dg,
             segbar, so3_params, alpha, near, h, block_size, w,
             refetch_every, max_deg,
-            interp_precision=("highest" if exact_bwd else "default")))
+            interp_precision=("highest" if exact_bwd else "default"),
+            traj_raw=raw))
     return (jnp.zeros_like(data3d), origins_bar, directions_bar, alphabar,
             thetabar)
 

@@ -485,8 +485,15 @@ def supports(spec, num_samples, batch, block_size, window, refetch_every):
 def march_bwd_pallas(spec, data, pos, dirs_raw, nvals, g, dpos, ddirs_raw,
                      dn, dg, segbar, so3_params, alpha, near, step_size,
                      block_size, window, refetch_every, max_deg,
-                     interpret=False, interp_precision=None):
+                     interpret=False, interp_precision=None, traj_raw=None):
   """Fused reverse sweep. Per-ray-layout inputs [batch, S, ...].
+
+  traj_raw: optional [nb, S, 11, R] march-layout trajectory straight from
+  the forward kernel (march_tiled_pallas with_raw=True). It is the exact
+  tensor `pack` would rebuild from the per-ray arrays (the kernel never
+  reads row 6, where raw carries real arclength and pack a zero dummy),
+  so passing it skips one full relayout pass over [batch, S, 11] —
+  a measured 15-20 ms floor per pass on v5e.
 
   Returns (origins_bar [batch, 3], directions_bar [batch, 3],
   alphabar scalar, thetabar pytree matching so3_params).
@@ -499,16 +506,19 @@ def march_bwd_pallas(spec, data, pos, dirs_raw, nvals, g, dpos, ddirs_raw,
   nb = batch // block_size
 
   # ONE packed relayout into march layout [nb, S, 11, R] for each of the
-  # trajectory and its cotangents (vs. 8+ separate reblocks in the XLA
-  # formulations).
+  # trajectory (unless the forward kernel's raw output is supplied) and
+  # its cotangents (vs. 8+ separate reblocks in the XLA formulations).
   def pack(parts):
     cat = jnp.concatenate(
         [a if a.ndim == 3 else a[..., None] for a in parts], axis=-1)
     cat = cat.reshape(nb, block_size, num_samples, 11)
     return jnp.transpose(cat, (0, 2, 3, 1))
 
-  dist_dummy = jnp.zeros_like(nvals[..., 0])
-  traj = pack([pos, dirs_raw, dist_dummy, nvals[..., 0], g])
+  if traj_raw is not None:
+    traj = traj_raw
+  else:
+    dist_dummy = jnp.zeros_like(nvals[..., 0])
+    traj = pack([pos, dirs_raw, dist_dummy, nvals[..., 0], g])
   cts = pack([dpos, ddirs_raw, segbar, dn[..., 0], dg])
 
   mats = [so3_params["Dense_0"]["kernel"], so3_params["Dense_1"]["kernel"],

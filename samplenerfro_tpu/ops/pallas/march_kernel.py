@@ -520,12 +520,17 @@ def _march_pallas_impl(spec, data, origins, directions, near, step_size,
           pltpu.SemaphoreType.DMA((nb,)),
       ],
   )(*inputs)
-  out = outs[0]
+  raw = outs[0]  # [nb, S, C, R] march-layout trajectory (kernel output)
   sub = outs[1] if jitter is not None else None
   oow = outs[-1]
 
-  # [nb, S, C, R] -> per-ray arrays [batch, S, ...].
-  out = jnp.transpose(out, (0, 3, 1, 2)).reshape(batch, num_samples,
+  # [nb, S, C, R] -> per-ray arrays [batch, S, ...]. `raw` is returned
+  # too: it is the exact layout the fused REVERSE kernel streams
+  # (march_bwd_kernel), so the all-stage vjp can keep it as a residual
+  # instead of re-packing the per-ray arrays (saves one full [batch, S,
+  # 11] relayout pass, the measured 15-20 ms floor on v5e). Unused, it is
+  # DCE'd under the enclosing jit (it aliases the pallas output buffer).
+  out = jnp.transpose(raw, (0, 3, 1, 2)).reshape(batch, num_samples,
                                                  emit_rows)
   pos = out[..., 0:3]
   dirs = out[..., 3:6]
@@ -543,7 +548,7 @@ def _march_pallas_impl(spec, data, origins, directions, near, step_size,
     sub_out = (sub_pos, sub_dir, sub[..., 6])
   else:
     sub_out = None
-  return pos, dirs, dist, nvals, g, sub_out, oow[0, 0]
+  return pos, dirs, dist, nvals, g, sub_out, oow[0, 0], raw
 
 
 # MARCH_UNROLL pins the per-window step-loop unroll (Mosaic supports only
@@ -556,13 +561,19 @@ def march_tiled_pallas(spec, data, origins, directions, near, step_size,
                        num_samples, block_size=256, window=8,
                        refetch_every=8, so3_params=None, annealed_alpha=1.0,
                        max_deg=10, unroll=None, interpret=False,
-                       normalize_dirs=True, interp_precision=None):
+                       normalize_dirs=True, interp_precision=None,
+                       with_raw=False):
   """Fused-kernel twin of eikonal_tiled.march_tiled (same returns).
 
   Args match march_tiled; instead of a pred_grad_fn closure, the "all"-stage
   so3 refinement is enabled by passing `so3_params` (the ops/mlp.py pytree:
   Dense_0..3 + Dense_out) plus `annealed_alpha`/`max_deg` — the kernel
   evaluates PE + MLP + Rodrigues inline per step.
+
+  with_raw=True appends the kernel's march-layout trajectory
+  [nb, S, 11, R] to the returns — the exact input layout of the fused
+  reverse kernel (ops/pallas/march_bwd_kernel.py), letting the all-stage
+  vjp skip the per-ray -> march-layout re-pack in the backward.
 
   Forward-only: gradients do not flow through the kernel itself
   (inputs are stop-gradient'd). Differentiated marches ("all"-stage
@@ -574,7 +585,9 @@ def march_tiled_pallas(spec, data, origins, directions, near, step_size,
       block_size, window, refetch_every, so3_params, annealed_alpha,
       max_deg, unroll, interpret, normalize_dirs, interp_precision,
       emit="full", jitter=None)
-  pos, dirs, dist, nvals, g, _sub, oow = out
+  pos, dirs, dist, nvals, g, _sub, oow, raw = out
+  if with_raw:
+    return pos, dirs, dist, nvals, g, oow, raw
   return pos, dirs, dist, nvals, g, oow
 
 
@@ -599,7 +612,7 @@ def march_tiled_pallas_lean(spec, data, origins, directions, near,
 
   Returns (pos, dirs, dist, sub_pos, sub_dirs, sub_dist, oow).
   """
-  pos, dirs, dist, _n, _g, sub, oow = _march_pallas_common(
+  pos, dirs, dist, _n, _g, sub, oow, _raw = _march_pallas_common(
       spec, data, origins, directions, near, step_size, num_samples,
       block_size, window, refetch_every, None, 1.0, 10, unroll, interpret,
       normalize_dirs, interp_precision, emit="lean", jitter=jitter)
@@ -660,20 +673,24 @@ def _march_pallas_common(spec, data, origins, directions, near, step_size,
         interp_precision=interp_precision, emit=emit, jitter=jitter)
 
   parts = []
+  raws = []
   oow_total = jnp.int32(0)
   rows = max_nb * block_size
   for start in range(0, batch, rows):
     end = min(start + rows, batch)
-    pos, dirs, dist, nvals, g, sub, oow = _march_pallas_impl(
+    pos, dirs, dist, nvals, g, sub, oow, raw = _march_pallas_impl(
         spec, data, origins[start:end], directions[start:end], near,
         step_size, num_samples, so3_inputs, block_size, window,
         refetch_every, max_deg, unroll, interpret,
         normalize_dirs=normalize_dirs, interp_precision=interp_precision,
         emit=emit, jitter=jitter)
     parts.append((pos, dirs, dist, nvals, g) + (sub if sub else ()))
+    raws.append(raw)
     oow_total = oow_total + oow
   stacked = [None if cols[0] is None else jnp.concatenate(cols, axis=0)
              for cols in zip(*parts)]
+  # Blocks are batch-major, so split raws concatenate on the block axis.
+  raw_all = jnp.concatenate(raws, axis=0)
   if jitter is not None:
-    return (*stacked[:5], tuple(stacked[5:8]), oow_total)
-  return (*stacked, None, oow_total)
+    return (*stacked[:5], tuple(stacked[5:8]), oow_total, raw_all)
+  return (*stacked, None, oow_total, raw_all)

@@ -254,3 +254,58 @@ def test_allstage_march_vjp_pallas_kernel(nblocks):
       np.testing.assert_allclose(
           np.asarray(got), np.asarray(leaf), atol=2e-4 * scale, rtol=2e-3,
           err_msg=f"{name}{jax.tree_util.keystr(path)}")
+
+
+def test_bwd_pallas_traj_raw_matches_pack():
+  """Feeding the forward kernel's raw trajectory == re-packing per-ray arrays.
+
+  On TPU the all-stage vjp stores the fused forward's [nb, S, 11, R]
+  output as a residual and hands it straight to the reverse kernel
+  (skipping one full relayout pass); this asserts the two input paths are
+  bit-identical in interpret mode (raw row 6 carries real arclength where
+  pack writes zeros — the kernel must not read it).
+  """
+  from samplenerfro_tpu.ops.pallas import march_bwd_kernel
+  from samplenerfro_tpu.ops.pallas import march_kernel
+
+  spec, data3d, _, _, so3, cfg = _setup(
+      n=64, nrays=32, block=16, S=16, refetch=4, window=16)
+  cfg["block_size"] = 128
+  cfg["step_size"] = 4.0 / 31
+  d = np.array([[0.0008 * (i % 16), 0.0005 * (i // 16), 1.0]
+                for i in range(128)], np.float32)
+  d /= np.linalg.norm(d, axis=-1, keepdims=True)
+  o = np.broadcast_to(np.array([0, 0, -4.0], np.float32), d.shape).copy()
+  o, d = jnp.asarray(o), jnp.asarray(d)
+  alpha = jnp.float32(0.6)
+
+  pos, dirs_raw, dist, nv, g, oow, raw = march_kernel.march_tiled_pallas(
+      spec, data3d, o, d, cfg["near"], cfg["step_size"],
+      cfg["num_samples"], block_size=cfg["block_size"],
+      window=cfg["window"], refetch_every=cfg["refetch_every"],
+      so3_params=so3, annealed_alpha=alpha, max_deg=SO3_KEY[1],
+      normalize_dirs=False, with_raw=True)
+  assert int(oow) == 0
+  assert raw.shape == (1, cfg["num_samples"], 11, cfg["block_size"])
+
+  rng = np.random.RandomState(3)
+  S, nrays = cfg["num_samples"], 128
+  cts = dict(
+      dpos=jnp.asarray(rng.randn(nrays, S, 3), jnp.float32),
+      ddirs_raw=jnp.asarray(rng.randn(nrays, S, 3), jnp.float32),
+      dn=jnp.asarray(rng.randn(nrays, S, 1), jnp.float32),
+      dg=jnp.asarray(rng.randn(nrays, S, 3), jnp.float32),
+      segbar=jnp.asarray(rng.randn(nrays, S), jnp.float32))
+
+  def run(traj_raw):
+    return march_bwd_kernel.march_bwd_pallas(
+        spec, data3d, pos, dirs_raw, nv, g, cts["dpos"], cts["ddirs_raw"],
+        cts["dn"], cts["dg"], cts["segbar"], so3, alpha, cfg["near"],
+        cfg["step_size"], cfg["block_size"], cfg["window"],
+        cfg["refetch_every"], SO3_KEY[1], traj_raw=traj_raw)
+
+  out_pack = run(None)
+  out_raw = run(raw)
+  for a, b in zip(jax.tree_util.tree_leaves(out_pack),
+                  jax.tree_util.tree_leaves(out_raw)):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
