@@ -36,6 +36,7 @@ Key layout choices:
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -508,9 +509,24 @@ def march_bwd_pallas(spec, data, pos, dirs_raw, nvals, g, dpos, ddirs_raw,
   # ONE packed relayout into march layout [nb, S, 11, R] for each of the
   # trajectory (unless the forward kernel's raw output is supplied) and
   # its cotangents (vs. 8+ separate reblocks in the XLA formulations).
+  # MARCH_BWD_PACK picks how the rays-to-lanes transpose runs:
+  #   mxu (default): contract the ray axis against a constant identity on
+  #     the MXU (einsum, HIGHEST) — exact (0/1 coefficients select single
+  #     addends; fp32 passthrough), and rides the matmul unit instead of
+  #     XLA's strided-copy transpose (the measured relayout floor).
+  #   xla: the plain jnp.transpose formulation (A/B anchor).
+  pack_impl = os.environ.get("MARCH_BWD_PACK", "mxu")
+
   def pack(parts):
     cat = jnp.concatenate(
         [a if a.ndim == 3 else a[..., None] for a in parts], axis=-1)
+    if pack_impl == "mxu":
+      flat = cat.reshape(nb, block_size, num_samples * 11)
+      eye = jnp.eye(block_size, dtype=cat.dtype)
+      out = jnp.einsum("brm,rk->bmk", flat, eye,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=cat.dtype)
+      return out.reshape(nb, num_samples, 11, block_size)
     cat = cat.reshape(nb, block_size, num_samples, 11)
     return jnp.transpose(cat, (0, 2, 3, 1))
 

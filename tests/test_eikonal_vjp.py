@@ -309,3 +309,23 @@ def test_bwd_pallas_traj_raw_matches_pack():
   for a, b in zip(jax.tree_util.tree_leaves(out_pack),
                   jax.tree_util.tree_leaves(out_raw)):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+  # The MXU identity-contraction pack (MARCH_BWD_PACK default) must be
+  # BIT-identical to the plain-transpose pack: 0/1 coefficients select
+  # single addends, so the einsum is an exact relayout, not an
+  # approximation.
+  import os
+  old = os.environ.get("MARCH_BWD_PACK")
+  try:
+    os.environ["MARCH_BWD_PACK"] = "xla"
+    out_xla = run(None)
+    os.environ["MARCH_BWD_PACK"] = "mxu"
+    out_mxu = run(None)
+  finally:
+    if old is None:
+      os.environ.pop("MARCH_BWD_PACK", None)
+    else:
+      os.environ["MARCH_BWD_PACK"] = old
+  for a, b in zip(jax.tree_util.tree_leaves(out_xla),
+                  jax.tree_util.tree_leaves(out_mxu)):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
