@@ -530,8 +530,7 @@ def _march_pallas_impl(spec, data, origins, directions, near, step_size,
   # instead of re-packing the per-ray arrays (saves one full [batch, S,
   # 11] relayout pass, the measured 15-20 ms floor on v5e). Unused, it is
   # DCE'd under the enclosing jit (it aliases the pallas output buffer).
-  out = jnp.transpose(raw, (0, 3, 1, 2)).reshape(batch, num_samples,
-                                                 emit_rows)
+  out = _to_per_ray(raw, batch, num_samples, emit_rows)
   pos = out[..., 0:3]
   dirs = out[..., 3:6]
   if normalize_dirs:
@@ -540,7 +539,7 @@ def _march_pallas_impl(spec, data, origins, directions, near, step_size,
   nvals = out[..., 7:8] if emit_rows == 11 else None
   g = out[..., 8:11] if emit_rows == 11 else None
   if sub is not None:
-    sub = jnp.transpose(sub, (0, 3, 1, 2)).reshape(batch, num_coarse, 7)
+    sub = _to_per_ray(sub, batch, num_coarse, 7)
     sub_pos = sub[..., 0:3]
     sub_dir = sub[..., 3:6]
     if normalize_dirs:
@@ -549,6 +548,26 @@ def _march_pallas_impl(spec, data, origins, directions, near, step_size,
   else:
     sub_out = None
   return pos, dirs, dist, nvals, g, sub_out, oow[0, 0], raw
+
+
+def _to_per_ray(march_arr, batch, steps, rows):
+  """[nb, steps, rows, R] march layout -> per-ray [batch, steps, rows].
+
+  MARCH_EPILOGUE picks the lanes->sublanes relayout implementation:
+    xla (default): plain jnp.transpose.
+    mxu: contract the ray axis against a constant identity on the MXU
+      (bit-exact: 0/1 coefficients select single addends) — the same
+      trick as the reverse sweep's cotangent pack (march_bwd_kernel).
+  """
+  nb, _, _, r = march_arr.shape
+  if __import__("os").environ.get("MARCH_EPILOGUE", "xla") == "mxu":
+    flat = march_arr.reshape(nb, steps * rows, r)
+    eye = jnp.eye(r, dtype=march_arr.dtype)
+    out = jnp.einsum("bmr,rk->bkm", flat, eye,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=march_arr.dtype)
+    return out.reshape(batch, steps, rows)
+  return jnp.transpose(march_arr, (0, 3, 1, 2)).reshape(batch, steps, rows)
 
 
 # MARCH_UNROLL pins the per-window step-loop unroll (Mosaic supports only

@@ -261,3 +261,35 @@ def test_pallas_march_lean_vmem_split_exact(monkeypatch):
     np.testing.assert_allclose(np.array(a), np.array(b), atol=0,
                                err_msg=name)
   assert int(whole[6]) == int(split[6])
+
+
+def test_mxu_epilogue_bit_exact(monkeypatch):
+  """MARCH_EPILOGUE=mxu (identity-contraction relayout) == plain transpose.
+
+  The lanes->sublanes epilogue expressed as an einsum against a constant
+  identity selects single addends with 0/1 coefficients, so it must be a
+  BIT-exact relayout of the kernel's march-layout outputs (full and lean
+  emits both).
+  """
+  spec, data = _setup()
+  o1, d1 = _pencil(16)
+  o = jnp.concatenate([o1, o1 + jnp.asarray([0.8, -0.5, 0.0])], axis=0)
+  d = jnp.concatenate([d1, d1], axis=0)
+  S, near = 32, 2.0
+  h = 4.0 / (S - 1)
+  jitter = _jitter(S, num_path=4)
+
+  def run_both(fn, *a, **kw):
+    monkeypatch.setenv("MARCH_EPILOGUE", "xla")
+    ref = fn(*a, **kw)
+    monkeypatch.setenv("MARCH_EPILOGUE", "mxu")
+    got = fn(*a, **kw)
+    for i, (x, y) in enumerate(zip(ref, got)):
+      np.testing.assert_array_equal(np.array(x), np.array(y),
+                                    err_msg=f"output {i}")
+
+  run_both(march_kernel.march_tiled_pallas, spec, data, o, d, near, h, S,
+           block_size=16, window=16, refetch_every=8, interpret=True)
+  run_both(march_kernel.march_tiled_pallas_lean, spec, data, o, d, near,
+           h, S, jitter, block_size=16, window=16, refetch_every=8,
+           interpret=True)
