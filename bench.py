@@ -488,10 +488,16 @@ def main():
       "parity_provenance": parity_prov,
       "march_mode": args.march_mode,
       "march_interp": args.march_interp,
+      "march_emit": args.march_emit,
+      "march_epilogue": os.environ.get("MARCH_EPILOGUE", "xla"),
       "mlp_dtype": args.mlp_dtype,
       "mlp_kernel": args.mlp_kernel,
       "stage": args.stage,
       "grid_n": GRID_N,
+      **({"march_bwd_impl": os.environ.get("EIKVJP_IMPL", "stepvjp"),
+          "march_bwd_pack": os.environ.get("MARCH_BWD_PACK", "mxu"),
+          "march_bwd_dtype": args.march_bwd_dtype}
+         if stage == "all_bench" else {}),
       **record,
   }))
 
