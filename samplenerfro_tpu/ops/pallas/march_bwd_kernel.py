@@ -97,14 +97,19 @@ def _pe_bwd(dx, caches):
   return pbar, dal
 
 
-def _mlp_fwd_t(x, wts, bstack):
-  """Transposed skip-MLP forward; returns (raw [3, R], activations)."""
+def _mlp_fwd_t(x, wts, bstack, precision=jax.lax.Precision.HIGHEST):
+  """Transposed skip-MLP forward; returns (raw [3, R], activations).
+
+  precision: MXU precision of the recompute matmuls. The exact (fp32)
+  backward passes HIGHEST; the production bf16 backward passes the same
+  single-pass precision its XLA formulations use for the so3 vjp
+  (bwd_dtype=bfloat16 casts the params tree), roughly doubling MXU rate.
+  """
   w0t, w1t, w2t, w3t, woutt = wts
-  hi = jax.lax.Precision.HIGHEST
 
   def matm(wt, hh):
     return jax.lax.dot_general(wt, hh, (((1,), (0,)), ((), ())),
-                               precision=hi,
+                               precision=precision,
                                preferred_element_type=jnp.float32)
 
   b = bstack
@@ -255,11 +260,14 @@ def _bwd_kernel(*refs, n, w, yext, block_size, nb, refetch, step_size,
     mask_b = [
         (jnp.sqrt(jnp.sum(g_b[b]**2, axis=0, keepdims=True)) > 1e-3)
         .astype(jnp.float32) for b in range(nb)]
-    hi = jax.lax.Precision.HIGHEST
 
+    # The dh chains run at the same precision as the recompute/outer
+    # products: HIGHEST in the exact (fp32) backward, single-pass bf16 in
+    # the production bf16 backward (matching the XLA formulations, which
+    # cast the whole so3 params tree to the backward dtype).
     def matm(wmat, hh):  # [in, out] @ [out, M] -> [in, M]
       return jax.lax.dot_general(wmat, hh, (((1,), (0,)), ((), ())),
-                                 precision=hi,
+                                 precision=interp_precision,
                                  preferred_element_type=jnp.float32)
 
     def outer(dh, act):  # [out, M] x [in, M] -> [out, in], contract lanes
@@ -270,7 +278,8 @@ def _bwd_kernel(*refs, n, w, yext, block_size, nb, refetch, step_size,
     p_so3_b, g_so3_b = [], []
     for b in range(nb):
       x_c, pe_caches = _pe_rows(p_b[b], alpha, max_deg)
-      raw, acts = _mlp_fwd_t(x_c, wts_t, bstack)
+      raw, acts = _mlp_fwd_t(x_c, wts_t, bstack,
+                             precision=interp_precision)
       rawbar, g_so3 = _rodrigues_bwd(raw, g_b[b], ubar_b[b] * mask_b[b])
       _, h1, h2, h3, hc, h4 = acts
 
