@@ -182,21 +182,24 @@ def _cross_rows(a, b):
   ], axis=0)
 
 
-def _so3_refine_t(rp, g, alpha, so3_refs, max_deg):
+def _so3_refine_t(rp, g, alpha, so3_refs, max_deg,
+                  precision=jax.lax.Precision.HIGHEST):
   """so3 refinement on transposed [3, R] tensors.
 
   so3_refs holds PRE-TRANSPOSED kernels (WkT: [out, in]) and a [width, 5]
   bias stack (cols 0..3 hidden, col 4 rows 0:3 = output bias), so every
   layer is WkT @ h with activations [width, R] and biases [width, 1].
   Parity: models/path_sampler.py wrapper_grad_mlp + ops/eikonal.py
-  rodrigues_rotate.
+  rodrigues_rotate. precision: MXU precision of the MLP matmuls
+  ($MARCH_SO3_PRECISION, default highest == fp32-exact parity with the
+  XLA so3 head; "default" halves their cost on the all-stage path at
+  bf16 input rounding — quality-gate before shipping).
   """
   w0t, w1t, w2t, w3t, woutt, b = so3_refs
-  hi = jax.lax.Precision.HIGHEST
 
   def matm(wt, h):
     return jax.lax.dot_general(wt[:], h, (((1,), (0,)), ((), ())),
-                               precision=hi,
+                               precision=precision,
                                preferred_element_type=jnp.float32)
 
   x = _annealed_pe_t(rp, alpha, max_deg)
@@ -221,7 +224,8 @@ def _so3_refine_t(rp, g, alpha, so3_refs, max_deg):
 
 def _march_kernel(refs, *, n, w, yext, block_size, nb, refetch, near,
                   step_size, nmin, ndelta, use_pred_grad, max_deg, unroll,
-                  interp_precision, emit_rows=11, num_path=None):
+                  interp_precision, so3_precision=None, emit_rows=11,
+                  num_path=None):
   refs = list(refs)
   origins_ref, dirs_ref, grid_hbm, selmat_ref = refs[:4]
   idx = 4
@@ -353,7 +357,10 @@ def _march_kernel(refs, *, n, w, yext, block_size, nb, refetch, near,
     if use_pred_grad:
       refined = [
           _so3_refine_t(rp_all[3 * b:3 * b + 3, :], grows[b], alpha,
-                        so3_refs, max_deg) for b in range(nb)]
+                        so3_refs, max_deg,
+                        precision=(so3_precision
+                                   or jax.lax.Precision.HIGHEST))
+          for b in range(nb)]
       upd_all = jnp.concatenate(refined, axis=0)
     else:
       upd_all = g_all
@@ -485,6 +492,8 @@ def _march_pallas_impl(spec, data, origins, directions, near, step_size,
         nmin=spec.nmin, ndelta=spec.ndelta, use_pred_grad=use_pred_grad,
         max_deg=max_deg, unroll=unroll,
         interp_precision=_precision(interp_precision),
+        so3_precision=_precision(
+            __import__("os").environ.get("MARCH_SO3_PRECISION", "highest")),
         emit_rows=emit_rows, num_path=num_path)
 
   out_specs = [
