@@ -263,7 +263,8 @@ def test_bwd_pallas_traj_raw_matches_pack():
   output as a residual and hands it straight to the reverse kernel
   (skipping one full relayout pass); this asserts the two input paths are
   bit-identical in interpret mode (raw row 6 carries real arclength where
-  pack writes zeros — the kernel must not read it).
+  pack writes zeros — the kernel must not read it). Two ray blocks with
+  different window origins cover the multi-block (nb > 1) layout.
   """
   from samplenerfro_tpu.ops.pallas import march_bwd_kernel
   from samplenerfro_tpu.ops.pallas import march_kernel
@@ -273,9 +274,10 @@ def test_bwd_pallas_traj_raw_matches_pack():
   cfg["block_size"] = 128
   cfg["step_size"] = 4.0 / 31
   d = np.array([[0.0008 * (i % 16), 0.0005 * (i // 16), 1.0]
-                for i in range(128)], np.float32)
+                for i in range(256)], np.float32)
   d /= np.linalg.norm(d, axis=-1, keepdims=True)
   o = np.broadcast_to(np.array([0, 0, -4.0], np.float32), d.shape).copy()
+  o[128:] += np.array([0.6, -0.3, 0.0], np.float32)  # second block offset
   o, d = jnp.asarray(o), jnp.asarray(d)
   alpha = jnp.float32(0.6)
 
@@ -286,10 +288,10 @@ def test_bwd_pallas_traj_raw_matches_pack():
       so3_params=so3, annealed_alpha=alpha, max_deg=SO3_KEY[1],
       normalize_dirs=False, with_raw=True)
   assert int(oow) == 0
-  assert raw.shape == (1, cfg["num_samples"], 11, cfg["block_size"])
+  assert raw.shape == (2, cfg["num_samples"], 11, cfg["block_size"])
 
   rng = np.random.RandomState(3)
-  S, nrays = cfg["num_samples"], 128
+  S, nrays = cfg["num_samples"], 256
   cts = dict(
       dpos=jnp.asarray(rng.randn(nrays, S, 3), jnp.float32),
       ddirs_raw=jnp.asarray(rng.randn(nrays, S, 3), jnp.float32),
