@@ -297,12 +297,21 @@ def measure_eval(args, grid_n, res=800, chunk=8192):
     model = model.clone(march_window=w, march_refetch=r)
     args.march_window, args.march_refetch = w, r
   render_fn = step_lib.make_render_fn(model, args, grid_vars, mesh=mesh)
+  # BENCH_EVAL_CPD > 1: render that many chunks per jitted dispatch
+  # (lax.map grouping, bit-identical; see utils/render.py).
+  cpd = int(os.environ.get("BENCH_EVAL_CPD", "1"))
+  render_multi = (step_lib.make_render_fn_multi(model, args, grid_vars,
+                                                mesh=mesh)
+                  if cpd > 1 else None)
   img_rays = camera_rays(res)
   params = state.params
   tile = args.tile_size if args.march_mode in ("tiled", "pallas") else 0
   run = lambda: render_lib.render_image(
       lambda k0, k1, r: render_fn(params, k0, k1, r), img_rays,
-      random.PRNGKey(2), False, chunk=chunk, mesh=mesh, tile=tile)
+      random.PRNGKey(2), False, chunk=chunk, mesh=mesh, tile=tile,
+      chunks_per_dispatch=cpd,
+      render_multi_fn=(None if render_multi is None else
+                       lambda k0, k1, r: render_multi(params, k0, k1, r)))
   run()  # warmup/compile
   t0 = time.perf_counter()
   run()

@@ -66,6 +66,9 @@ def main(unused_argv):
   mesh = mesh_lib.make_mesh()
   grid_vars = {"grid": mesh_lib.replicate(dict(variables["grid"]), mesh)}
   render_fn = step_lib.make_render_fn(model, FLAGS, grid_vars, mesh=mesh)
+  render_multi_fn = (
+      step_lib.make_render_fn_multi(model, FLAGS, grid_vars, mesh=mesh)
+      if FLAGS.render_chunks_per_dispatch > 1 else None)
 
   ssim_fn = jax.jit(
       functools.partial(metrics.compute_ssim, max_val=1.0), backend="cpu")
@@ -107,7 +110,10 @@ def main(unused_argv):
           batch["rays"], rng, FLAGS.dataset == "llff",
           chunk=FLAGS.chunk, mesh=mesh,
           tile=(FLAGS.tile_size
-                if FLAGS.march_mode in ("tiled", "pallas") else 0))
+                if FLAGS.march_mode in ("tiled", "pallas") else 0),
+          chunks_per_dispatch=FLAGS.render_chunks_per_dispatch,
+          render_multi_fn=(functools.partial(render_multi_fn, params)
+                           if render_multi_fn is not None else None))
       vis_suite = vis.visualize_suite(pred_disp[..., 0], pred_acc[..., 0])
 
       if jax.process_index() != 0:

@@ -316,10 +316,22 @@ def make_render_fn(model, args, grid_vars, mesh=None):
   """
   if getattr(model, "mlp_dtype", "float32") != "float32":
     model = model.clone(mlp_dtype="float32")
+
+  render_core = _make_render_core(model, mesh)
+  render_impl = jax.jit(render_core)
+
+  def render_fn(params, key_0, key_1, rays):
+    return render_impl(params, grid_vars, key_0, key_1, rays)
+
+  return render_fn
+
+
+def _make_render_core(model, mesh):
+  """Unjitted per-chunk render body shared by the single- and multi-chunk
+  dispatch builders (make_render_fn / make_render_fn_multi)."""
   replicate_out = mesh is not None and jax.process_count() > 1
 
-  @functools.partial(jax.jit, static_argnames=())
-  def render_impl(params, grid, key_0, key_1, rays):
+  def render_core(params, grid, key_0, key_1, rays):
     variables = {"params": params, **grid}
     (ret, _), aux = model.apply(variables, key_0, key_1, rays, False,
                                 mutable=["diagnostics"])
@@ -337,7 +349,31 @@ def make_render_fn(model, args, grid_vars, mesh=None):
           out, NamedSharding(mesh, PartitionSpec()))
     return out
 
-  def render_fn(params, key_0, key_1, rays):
-    return render_impl(params, grid_vars, key_0, key_1, rays)
+  return render_core
 
-  return render_fn
+
+def make_render_fn_multi(model, args, grid_vars, mesh=None):
+  """Jitted K-chunk render dispatch: rays carry a leading chunk axis.
+
+  lax.map over the same render core as make_render_fn — one dispatch
+  renders K eval chunks (outputs stacked [K, ...]), amortizing the
+  per-call host dispatch latency exactly like make_train_step_multi does
+  for training (the dominant per-chunk cost through a remote-TPU tunnel;
+  the reference renders chunks strictly synchronously,
+  rnerf/utils.py:331-389). Bit-identical per chunk to make_render_fn:
+  same keys, same core, the chunk axis is only an execution grouping.
+  """
+  if getattr(model, "mlp_dtype", "float32") != "float32":
+    model = model.clone(mlp_dtype="float32")
+
+  render_core = _make_render_core(model, mesh)
+
+  @jax.jit
+  def render_multi_impl(params, grid, key_0, key_1, stacked_rays):
+    return jax.lax.map(
+        lambda r: render_core(params, grid, key_0, key_1, r), stacked_rays)
+
+  def render_multi_fn(params, key_0, key_1, stacked_rays):
+    return render_multi_impl(params, grid_vars, key_0, key_1, stacked_rays)
+
+  return render_multi_fn

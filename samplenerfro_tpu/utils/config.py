@@ -155,6 +155,12 @@ def define_flags():
       "batches and lax.scans the step inside one jit call, amortizing the "
       "per-call host dispatch overhead (bitwise-identical training; "
       "print/save/render/gc cadences must be multiples of it).")
+  flags.DEFINE_integer(
+      "render_chunks_per_dispatch", 1,
+      "eval-render chunks per jitted dispatch: >1 stacks that many "
+      "full-size chunks and lax.maps the render inside one jit call "
+      "(bit-identical output), amortizing the per-call host dispatch "
+      "overhead; ragged tails render per-chunk.")
   flags.DEFINE_integer("precrop_iters", 0,
                        "number of steps to train on central crops.")
   flags.DEFINE_float("precrop_frac", 0.5,

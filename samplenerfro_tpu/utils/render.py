@@ -18,7 +18,8 @@ from samplenerfro_tpu.parallel import mesh as mesh_lib
 
 
 def render_image(render_fn, rays, rng, normalize_disp, chunk=8192, mesh=None,
-                 tile=0, pipeline_depth=8):
+                 tile=0, pipeline_depth=8, chunks_per_dispatch=1,
+                 render_multi_fn=None):
   """Render all pixels of an image in chunks.
 
   Args:
@@ -37,6 +38,13 @@ def render_image(render_fn, rays, rng, normalize_disp, chunk=8192, mesh=None,
       device_get of chunk k overlaps H2D/compute/D2H across chunks (the
       reference renders chunks strictly synchronously, utils.py:331-389;
       a depth-1 pipeline pays the full dispatch latency per chunk).
+    chunks_per_dispatch: when > 1 and render_multi_fn is given, groups of
+      K full-size chunks render in ONE dispatch (a lax.map inside one jit
+      call — see step_lib.make_render_fn_multi), amortizing the per-call
+      host dispatch latency; ragged tails fall back to render_fn.
+      Bit-identical outputs in either mode.
+    render_multi_fn: jitted (key_0, key_1, stacked_rays [K, n, C]) ->
+      stacked outputs; required when chunks_per_dispatch > 1.
 
   Returns:
     (rgb [h, w, 3], distance [h, w, 1], acc [h, w, 1]) numpy arrays.
@@ -57,18 +65,26 @@ def render_image(render_fn, rays, rng, normalize_disp, chunk=8192, mesh=None,
   if tile > 0:
     pad_multiple = int(np.lcm(n_devices, tile * tile))
   results = []
-  pending = collections.deque()
+  pending = collections.deque()  # entries: (stacked?, outs, paddings tuple)
+  inflight = [0]
 
   def drain_one():
     nonlocal total_oow
-    rgb, distance, acc, oow, padding = pending.popleft()
-    rgb, distance, acc, oow = jax.device_get((rgb, distance, acc, oow))
-    total_oow += int(oow)
-    if padding:
-      rgb, distance, acc = rgb[:-padding], distance[:-padding], acc[:-padding]
-    results.append((rgb, distance, acc))
+    stacked, outs, paddings = pending.popleft()
+    inflight[0] -= len(paddings)
+    rgb, distance, acc, oow = jax.device_get(outs)
+    if not stacked:
+      rgb, distance, acc = rgb[None], distance[None], acc[None]
+      oow = np.asarray(oow)[None]
+    for k, padding in enumerate(paddings):
+      total_oow += int(oow[k])
+      r_, d_, a_ = rgb[k], distance[k], acc[k]
+      if padding:
+        r_, d_, a_ = r_[:-padding], d_[:-padding], a_[:-padding]
+      results.append((r_, d_, a_))
 
-  for i in range(0, num_rays, chunk):
+  def prep_chunk(i):
+    """Slice/pad/host-slice one chunk; returns (host chunk rays, padding)."""
     chunk_rays = namedtuple_map(lambda r: r[i:i + chunk], rays)
     chunk_size = chunk_rays[0].shape[0]
     rays_remaining = chunk_size % pad_multiple
@@ -76,19 +92,43 @@ def render_image(render_fn, rays, rng, normalize_disp, chunk=8192, mesh=None,
     if padding:
       chunk_rays = namedtuple_map(
           lambda r: np.pad(r, ((0, padding), (0, 0)), mode="edge"), chunk_rays)
-    if mesh is not None:
-      if jax.process_count() > 1:
-        # Per-host ray slicing (rnerf/utils.py:366-368): every process loads
-        # the full image but contributes only its local rows to the global
-        # sharded array.
-        lo, hi = mesh_lib.local_chunk(chunk_rays[0].shape[0], mesh)
-        chunk_rays = namedtuple_map(lambda r: r[lo:hi], chunk_rays)
-      chunk_rays = mesh_lib.put_batch(chunk_rays, mesh)
-    out = render_fn(key_0, key_1, chunk_rays)
-    rgb, distance, acc = out[0], out[1], out[2]
-    oow = out[5] if len(out) > 5 else 0
-    pending.append((rgb, distance, acc, oow, padding))
-    while len(pending) >= max(1, pipeline_depth):
+    if mesh is not None and jax.process_count() > 1:
+      # Per-host ray slicing (rnerf/utils.py:366-368): every process loads
+      # the full image but contributes only its local rows to the global
+      # sharded array.
+      lo, hi = mesh_lib.local_chunk(chunk_rays[0].shape[0], mesh)
+      chunk_rays = namedtuple_map(lambda r: r[lo:hi], chunk_rays)
+    return chunk_rays, padding
+
+  starts = list(range(0, num_rays, chunk))
+  k_group = max(1, int(chunks_per_dispatch)) if render_multi_fn else 1
+  gi = 0
+  while gi < len(starts):
+    group = starts[gi:gi + k_group]
+    if k_group > 1 and len(group) == k_group and group[-1] + chunk <= num_rays:
+      # K equal-size chunks in one dispatch (lax.map inside one jit call).
+      prepped = [prep_chunk(i) for i in group]
+      chunk_trees = [c for c, _ in prepped]
+      stacked_rays = type(chunk_trees[0])(
+          *[np.stack(cols) for cols in zip(*chunk_trees)])
+      if mesh is not None:
+        stacked_rays = mesh_lib.put_batch(stacked_rays, mesh, stacked=True)
+      out = render_multi_fn(key_0, key_1, stacked_rays)
+      oow = out[5] if len(out) > 5 else jnp.zeros((k_group,), jnp.int32)
+      pending.append((True, (out[0], out[1], out[2], oow),
+                      tuple(p for _, p in prepped)))
+      inflight[0] += k_group
+      gi += k_group
+    else:
+      chunk_rays, padding = prep_chunk(group[0])
+      if mesh is not None:
+        chunk_rays = mesh_lib.put_batch(chunk_rays, mesh)
+      out = render_fn(key_0, key_1, chunk_rays)
+      oow = out[5] if len(out) > 5 else 0
+      pending.append((False, (out[0], out[1], out[2], oow), (padding,)))
+      inflight[0] += 1
+      gi += 1
+    while inflight[0] >= max(1, pipeline_depth) and pending:
       drain_one()
   while pending:
     drain_one()

@@ -83,3 +83,38 @@ def test_render_fn_forces_fp32_mlps(tmp_path):
       variables["params"], key, key, rays)
   for a, b in zip(out_fp32, out_bf16cfg):
     np.testing.assert_array_equal(np.array(a), np.array(b))
+
+
+def test_multi_chunk_dispatch_bit_exact(tmp_path):
+  """K-chunks-per-dispatch rendering == per-chunk rendering, bitwise.
+
+  The lax.map grouping (step_lib.make_render_fn_multi +
+  render_image(chunks_per_dispatch=K)) is an execution grouping only:
+  same keys, same per-chunk core. 16x16 image at chunk=48 -> 5 full
+  chunks + a ragged tail, so one K=2 group boundary AND the single-chunk
+  fallback path are both exercised.
+  """
+  data_dir = fixtures.make_scene(str(tmp_path / "scene"), res=16)
+  args = helpers.tiny_args(data_dir=data_dir, factor=0, white_bkgd=False,
+                           chunk=48, num_coarse_samples=4,
+                           num_fine_samples=8, num_path_samples=2)
+  ds = datasets.Blender("val", args)
+  example = ds.peek()
+  ndim, nmin, nmax, grid = helpers.make_grid()
+  model, variables = construct_nerf(
+      random.PRNGKey(0), {"rays": example["rays"]}, args,
+      ndim, nmin, nmax, grid)
+  grid_vars = {"grid": variables["grid"]}
+  render_fn = step_lib.make_render_fn(model, args, grid_vars)
+  render_multi = step_lib.make_render_fn_multi(model, args, grid_vars)
+  fn = functools.partial(render_fn, variables["params"])
+  fn_multi = functools.partial(render_multi, variables["params"])
+
+  rng = random.PRNGKey(1)
+  plain = render_lib.render_image(fn, example["rays"], rng, False, chunk=48)
+  grouped = render_lib.render_image(
+      fn, example["rays"], rng, False, chunk=48,
+      chunks_per_dispatch=2, render_multi_fn=fn_multi)
+  for a, b in zip(plain, grouped):
+    np.testing.assert_array_equal(np.array(a), np.array(b))
+  assert grouped[0].shape == (16, 16, 3)
