@@ -100,11 +100,17 @@ def main(unused_argv):
   # ---------------------------------------------------------------------
   # 1. Debug view render.
   # ---------------------------------------------------------------------
+  render_multi_fn = (
+      step_lib.make_render_fn_multi(model, FLAGS, grid_vars, mesh=mesh)
+      if FLAGS.render_chunks_per_dispatch > 1 else None)
   pred_color, _, pred_acc = render_lib.render_image(
       functools.partial(render_fn, params), batch["rays"], rng,
       FLAGS.dataset == "llff", chunk=FLAGS.chunk, mesh=mesh,
       tile=(FLAGS.tile_size
-            if FLAGS.march_mode in ("tiled", "pallas") else 0))
+            if FLAGS.march_mode in ("tiled", "pallas") else 0),
+      chunks_per_dispatch=FLAGS.render_chunks_per_dispatch,
+      render_multi_fn=(functools.partial(render_multi_fn, params)
+                       if render_multi_fn is not None else None))
   io_lib.save_img(pred_color, path.join(out_dir, "color.png"))
   np.save(path.join(out_dir, "acc.npy"), np.asarray(pred_acc))
 

@@ -117,6 +117,9 @@ def main(unused_argv):
                else step_lib.make_train_step)
   train_pstep = make_step(train_model, FLAGS, grid_vars)
   render_fn = step_lib.make_render_fn(model, FLAGS, grid_vars, mesh=mesh)
+  render_multi_fn = (
+      step_lib.make_render_fn_multi(model, FLAGS, grid_vars, mesh=mesh)
+      if FLAGS.render_chunks_per_dispatch > 1 else None)
   tiled_training = train_model.march_mode in ("tiled", "pallas")
 
   ssim_fn = jax.jit(
@@ -338,7 +341,10 @@ def main(unused_argv):
       pred_color, pred_distance, pred_acc = render_lib.render_image(
           functools.partial(render_fn, eval_params),
           val_case["rays"], keys, FLAGS.dataset == "llff",
-          chunk=FLAGS.chunk, mesh=mesh, tile=render_tile)
+          chunk=FLAGS.chunk, mesh=mesh, tile=render_tile,
+          chunks_per_dispatch=FLAGS.render_chunks_per_dispatch,
+          render_multi_fn=(functools.partial(render_multi_fn, eval_params)
+                           if render_multi_fn is not None else None))
       if jax.process_index() == 0:
         psnr = metrics.compute_psnr(
             ((pred_color - val_case["pixels"])**2).mean())
