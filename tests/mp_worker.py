@@ -94,9 +94,21 @@ def main():
       functools.partial(render_fn, state.params), img_rays,
       random.PRNGKey(5), False, chunk=8, mesh=mesh)
 
+  # Grouped-dispatch render (K=2 of the 3 full chunks via lax.map, the
+  # third through the per-chunk fallback): must be bitwise identical and
+  # exercises stacked put_batch + per-host slicing under nproc > 1.
+  render_multi = step_lib.make_render_fn_multi(model, args, grid_vars,
+                                               mesh=mesh)
+  rgb_g, _, acc_g = render_lib.render_image(
+      functools.partial(render_fn, state.params), img_rays,
+      random.PRNGKey(5), False, chunk=8, mesh=mesh,
+      chunks_per_dispatch=2,
+      render_multi_fn=functools.partial(render_multi, state.params))
+
   if pid == 0:
     np.savez(out_path, loss=np.float32(loss), rgb=np.asarray(rgb),
-             acc=np.asarray(acc), multi_loss0=np.float32(multi_loss0))
+             acc=np.asarray(acc), multi_loss0=np.float32(multi_loss0),
+             rgb_grouped=np.asarray(rgb_g), acc_grouped=np.asarray(acc_g))
   print(f"worker {pid}/{nproc} done loss={loss:.6f}", flush=True)
 
 

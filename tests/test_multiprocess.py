@@ -64,3 +64,11 @@ def test_two_process_train_and_render_match_single_process(tmp_path):
                              rtol=1e-5)
   np.testing.assert_allclose(a["multi_loss0"], b["multi_loss0"], atol=1e-5,
                              rtol=1e-5)
+  # Grouped-dispatch render (render_chunks_per_dispatch=2): bitwise equal
+  # to the per-chunk render within each run — including the 2-process run,
+  # which routes the stacked chunks through put_batch(stacked=True) with
+  # per-host ray slicing.
+  np.testing.assert_array_equal(a["rgb_grouped"], a["rgb"])
+  np.testing.assert_array_equal(a["acc_grouped"], a["acc"])
+  np.testing.assert_array_equal(b["rgb_grouped"], b["rgb"])
+  np.testing.assert_array_equal(b["acc_grouped"], b["acc"])
