@@ -66,6 +66,14 @@ CANDIDATES_PALLAS = ((8, 8), (8, 4), (16, 8), (16, 4), (24, 8), (24, 4),
                      (32, 8), (32, 4))
 
 
+def _resolved_bwd_impl(flag_value):
+  """'auto' -> $EIKVJP_IMPL (default stepvjp), mirroring eikonal_vjp."""
+  import os
+  if flag_value in (None, "auto"):
+    return os.environ.get("EIKVJP_IMPL", "stepvjp")
+  return flag_value
+
+
 def ladder_step_down(window, refetch):
   """Next marcher config after an out-of-window violation at runtime.
 
@@ -105,6 +113,26 @@ def calibrate_march_window(model, variables, batches, candidates=None,
     candidates = (CANDIDATES_PALLAS if model.march_mode == "pallas"
                   else CANDIDATES)
   batches = list(batches)
+  # 'all'-stage calibration with the fused Pallas reverse sweep selected:
+  # keep only (window, refetch) pairs the REVERSE kernel also supports,
+  # else the forward-fastest pair could silently forfeit the fused
+  # backward (the vjp falls back to stepvjp outside its envelope —
+  # ops/eikonal_vjp.py bwd_pallas).
+  if (model.march_mode == "pallas"
+      and getattr(model, "stage", "").startswith("all")
+      and _resolved_bwd_impl(getattr(model, "march_bwd_impl", "auto"))
+      == "pallas" and batches):
+    from samplenerfro_tpu.ops.pallas import march_bwd_kernel
+    batch_rays = int(np.asarray(batches[0]["rays"].origins).shape[0])
+    num_samples = model.num_coarse_samples * model.num_path_samples
+    bwd_ok = [
+        (w, r) for (w, r) in candidates
+        if march_bwd_kernel.supports(model.spec, num_samples, batch_rays,
+                                     model.tile_block, w, r)]
+    if bwd_ok and bwd_ok != list(candidates):
+      print("march window calibration: restricting to reverse-kernel-"
+            f"supported candidates {bwd_ok}")
+      candidates = bwd_ok
   results = {}
   for window, refetch in candidates:
     probe_model = model.clone(march_window=window, march_refetch=refetch)

@@ -206,3 +206,44 @@ def test_ladder_step_down_policy():
     if action == "scan":
       break
   assert hops == 8, hops
+
+
+def test_calibration_filters_by_reverse_kernel_support(monkeypatch):
+  """'all'-stage + pallas reverse sweep: the ladder keeps only pairs the
+  REVERSE kernel supports, so the chosen pair never silently forfeits the
+  fused backward (which would fall back to stepvjp outside its envelope).
+  """
+  from jax import random
+
+  from samplenerfro_tpu.data.rays import Rays
+  from samplenerfro_tpu.models import construct_nerf
+  from samplenerfro_tpu.ops.pallas import march_bwd_kernel
+  from samplenerfro_tpu.train import calibrate
+  from tests import helpers
+
+  o, d = _tile_bundle(n_tiles=2, tile=4)
+  rays = Rays(origins=o, directions=d, viewdirs=d,
+              radii=jnp.full((o.shape[0], 1), 1e-3))
+  args = helpers.tiny_args(near=0.5, far=3.5, num_coarse_samples=8,
+                           num_path_samples=4, march_mode="pallas",
+                           tile_size=4, march_window=16, march_refetch=8,
+                           stage="all_calib")
+  ndim, nmin, nmax = [33] * 3, [-2.0] * 3, [2.0] * 3
+  grid = np.asarray(_blob_grid()[1][:, :1])
+  model, variables = construct_nerf(
+      random.PRNGKey(0), {"rays": rays}, args, ndim, nmin, nmax, grid)
+
+  monkeypatch.setenv("EIKVJP_IMPL", "pallas")
+  probed = []
+
+  def fake_supports(spec, num_samples, batch, block, w, r):
+    probed.append((w, r))
+    return w >= 16
+
+  monkeypatch.setattr(march_bwd_kernel, "supports", fake_supports)
+  cands = ((8, 8), (16, 8), (24, 8))
+  chosen, results = calibrate.calibrate_march_window(
+      model, variables, [{"rays": rays}], candidates=cands)
+  assert probed, "filter never consulted the reverse kernel envelope"
+  assert (8, 8) not in results, "unsupported pair was still probed"
+  assert chosen[0] >= 16
