@@ -1,0 +1,55 @@
+import jax, numpy as np, jax.numpy as jnp
+from jax import random
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+from samplenerfro_tpu.ops import eikonal_tiled as eikt
+from samplenerfro_tpu.ops import eikonal_vjp
+from samplenerfro_tpu.ops import grid as grid_ops
+from samplenerfro_tpu.ops import mlp as fmlp
+from samplenerfro_tpu.train import selfcheck as sc
+
+grid_n, window, refetch, block_size = 128, 16, 8, 256
+s_grad = 192
+spec = grid_ops.GridSpec([grid_n]*3, [-1.5]*3, [1.5]*3)
+data, data3d = sc._blob_grid3d(spec, grid_n)
+o, d = sc._center_tile_rays(512)
+near, h = 2.0, (6.0-2.0)/767
+
+for deg in (10, 2):
+  KEY = (0, deg, True, True, True, False)
+  in_dim = 2*3*deg
+  so3 = fmlp.mlp_init(random.PRNGKey(7), in_dim, net_depth=4, net_width=128,
+                      skip_layer=2, num_out_channels=3, output_init_std=1e-2)
+  alpha = jnp.float32(0.63)
+  og, dg = o[:block_size], d[:block_size]
+  rng = np.random.RandomState(0)
+  weights = (jnp.asarray(rng.randn(block_size, s_grad, 3), jnp.float32),
+             jnp.asarray(rng.randn(block_size, s_grad, 3), jnp.float32),
+             jnp.asarray(rng.randn(block_size, s_grad), jnp.float32),
+             jnp.asarray(rng.randn(block_size, s_grad, 1), jnp.float32),
+             jnp.asarray(rng.randn(block_size, s_grad, 3), jnp.float32))
+  def loss_of(outs5):
+    pos, dirs, dist, nv, g = outs5[:5]
+    wp, wd, wt, wn, wg = weights
+    return (jnp.sum(jnp.sin(pos)*wp) + jnp.sum(dirs*wd) + jnp.sum(dist*wt)
+            + jnp.sum(nv*wn) + jnp.sum(g*wg))
+  so3_apply = eikonal_vjp.make_so3_apply(*KEY)
+  def loss_ref(o_, d_, al_, th_):
+    pred = lambda rp, g: so3_apply(th_, al_, rp, g)
+    return loss_of(eikt.march_tiled(spec, data3d, o_, d_, near, h, s_grad,
+        block_size=block_size, window=window, refetch_every=refetch,
+        pred_grad_fn=pred, use_pred_grad=True))
+  val_ref, grads_ref = jax.jit(jax.value_and_grad(loss_ref, argnums=(0,1,2,3)))(og, dg, alpha, so3)
+  for impl in ("stepvjp", "pallas"):
+    ma = eikonal_vjp.make_march_allstage(spec, near, h, s_grad, block_size,
+        window, refetch, KEY, "pallas", bwd_impl=impl)
+    f = jax.jit(jax.value_and_grad(lambda o_,d_,al_,th_, ma=ma: loss_of(ma(data3d,o_,d_,al_,th_)), argnums=(0,1,2,3)))
+    val, grads = f(og, dg, alpha, so3)
+    worst = 0.0; worst_name = ""
+    for name, gr, gn in zip(("origins","directions","alpha","so3"), grads_ref, grads):
+      leaves_n = dict(jax.tree_util.tree_leaves_with_path(gn))
+      for path, lr in jax.tree_util.tree_leaves_with_path(gr):
+        ln = leaves_n[path]
+        rel = float(jnp.abs(lr-ln).max())/max(float(jnp.abs(lr).max()),1e-3)
+        if rel > worst and name == "so3": worst, worst_name = rel, f"{name}{jax.tree_util.keystr(path)}"
+    a_ref = float(grads_ref[2]); a_new = float(grads[2])
+    print(f"deg={deg} {impl}: worst so3 rel {worst:.3e} ({worst_name}); alpha grad ref {a_ref:.4e} got {a_new:.4e}")
