@@ -401,8 +401,14 @@ def main():
     # analytic all-stage VJP and XLA autodiff.
     from samplenerfro_tpu.train import selfcheck
     check_window = int(os.environ.get("BENCH_MARCH_WINDOW", "0")) or 16
-    deviations = selfcheck.check_march(window=check_window)
+    deviations, soft_failures = selfcheck.check_march(window=check_window)
     record["check"] = "ok"
+    if soft_failures:
+      # Experimental (non-production) impl out of envelope: recorded,
+      # not fatal — the production measurement proceeds.
+      record["check_soft_failures"] = soft_failures
+      print(f"bench.py: {len(soft_failures)} experimental-impl "
+            f"self-check deviation(s): {soft_failures}", file=sys.stderr)
     record["check_max_dev"] = round(
         max(v for k, v in deviations.items() if "bf16" not in k), 8)
     bf16_devs = [v for k, v in deviations.items() if "bf16" in k]
