@@ -171,17 +171,36 @@ def blob_grid(n):
   return vals.reshape(-1, 1).astype(np.float32)
 
 
+def scene_grid(n, radius=0.7):
+  """Scene-like IOR grid: compact object, EXACT ambient 1.0 free space.
+
+  Production grids (voxelize_mesh.py -> mesh.pkl, reference
+  voxelize/main.py) are exactly 1.0 outside the object, which is what
+  the fused kernel's uniform-window free-space skip predicates on
+  (march_kernel.uniformity_flags). The headline blob_grid decays to 1.0
+  only asymptotically, so it exercises the marcher but not the skip;
+  this grid is the skip A/B workload (scene512_* companion fields).
+  """
+  axes = np.linspace(-1.5, 1.5, n, dtype=np.float32)
+  xx, yy, zz = np.meshgrid(axes, axes, axes, indexing="ij")
+  r2 = xx**2 + yy**2 + zz**2
+  bump = np.maximum(0.0, 1.0 - r2 / radius**2)**2
+  vals = 1.0 + 0.5 * bump
+  return vals.reshape(-1, 1).astype(np.float32)
+
+
 _GRID_CACHE = {}
 
 
-def _grid(n):
-  if n not in _GRID_CACHE:
-    _GRID_CACHE[n] = blob_grid(n)
-  return _GRID_CACHE[n]
+def _grid(n, kind="blob"):
+  key = (kind, n)
+  if key not in _GRID_CACHE:
+    _GRID_CACHE[key] = blob_grid(n) if kind == "blob" else scene_grid(n)
+  return _GRID_CACHE[key]
 
 
 def _build(args, grid_n):
-  grid = _grid(grid_n)
+  grid = _grid(grid_n, getattr(args, "bench_grid", "blob"))
   batch = make_inputs(
       BATCH, tiled=(args.march_mode in ("tiled", "pallas")))
   model, variables = construct_nerf(
@@ -350,8 +369,14 @@ def production_args(stage="radiance_bench", window=None, **over):
   # Lean march emit (7-channel dense trajectory + in-kernel jittered
   # subsample) A/B knob; see ops/pallas/march_kernel.py.
   march_emit = os.environ.get("BENCH_MARCH_EMIT", "full")
+  # Uniform-window free-space skip (march_kernel.py). Only fires on grids
+  # with exactly-uniform bricks — the scene512 companion workload; the
+  # headline blob has none (its Gaussian never lands exactly on ambient
+  # except in fp32-underflow corners the bench rays never visit).
+  march_skip = os.environ.get("BENCH_MARCH_SKIP", "off")
   over = {"march_refetch": refetch, "march_bwd_dtype": march_bwd_dtype,
-          "march_interp": march_interp, "march_emit": march_emit, **over}
+          "march_interp": march_interp, "march_emit": march_emit,
+          "march_skip": march_skip, **over}
   return ship_args(march_mode=march_mode, tile_size=16, march_window=window,
                    mlp_dtype=mlp_dtype, mlp_remat=mlp_remat,
                    mlp_kernel=mlp_kernel, stage=stage, **over)
@@ -475,6 +500,15 @@ def main():
       companion("grid128", production_args(), 128)
     companion("grid384_s24", production_args(num_path_samples=24), 384)
     companion("all_stage", production_args(stage="all_bench"), GRID_N)
+    # Free-space-skip A/B on the scene-like grid (exact ambient outside
+    # the object, like production voxelized grids — the headline blob has
+    # no uniform bricks, see scene_grid). The skip run pins the off run's
+    # auto-calibrated (window, refetch) so the skip is the only delta.
+    companion("scene_off", production_args(bench_grid="scene"), GRID_N)
+    companion("scene_skip", production_args(
+        bench_grid="scene", march_skip="uniform",
+        window=record.get("scene_off_window", 0),
+        march_refetch=record.get("scene_off_refetch", 8)), GRID_N)
     try:
       record["eval_rays_per_sec"] = round(
           measure_eval(production_args(), GRID_N)[0], 1)

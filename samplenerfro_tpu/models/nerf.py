@@ -100,6 +100,9 @@ class NerfModel(nn.Module):
   # dense gradients (online sparsity) or the stage differentiates the
   # march; see models/path_sampler.py.
   march_emit: str = "full"
+  # "uniform": fused-march kernel skips DMA/interp/so3 for windows of
+  # exactly-uniform free-space IOR bricks; see models/path_sampler.py.
+  march_skip: str = "off"
   # Radiance-MLP compute dtype ("float32" | "bfloat16"); params stay fp32.
   mlp_dtype: str = "float32"
   mlp_remat: bool = False
@@ -157,7 +160,8 @@ class NerfModel(nn.Module):
         # Online sparsity consumes the dense grad-n trajectory (the
         # ||grad n|| > 1e-6 masks below); keep the full emit then.
         march_emit=(self.march_emit
-                    if not self.use_online_sparsity else "full"))
+                    if not self.use_online_sparsity else "full"),
+        march_skip=self.march_skip)
 
     self.coarse_step_size = (self.far - self.near) / self.num_coarse_samples
     self.fine_step_size = (self.far - self.near) / (
@@ -560,6 +564,7 @@ def construct_nerf(key, example_batch, args, ndim, nmin, nmax, grid,
       march_refetch=int(getattr(args, "march_refetch", 8)),
       march_interp=str(getattr(args, "march_interp", "highest")),
       march_emit=str(getattr(args, "march_emit", "full")),
+      march_skip=str(getattr(args, "march_skip", "off")),
   )
 
   # Batches are flat [batch, ...] host arrays (no per-device leading axis as

@@ -97,6 +97,12 @@ class PathSampler(nn.Module):
   # jitter indices and no consumer needs the dense n / grad-n trajectory
   # (models/nerf.py gates on use_online_sparsity and the stage).
   march_emit: str = "full"
+  # "uniform" predicates away the fused kernel's window DMA + interp
+  # matmuls + so3 MLP for windows covered entirely by uniform (free-space)
+  # bricks of the IOR grid — there the Euler update is exactly
+  # p += h/n_amb * d (march_kernel.uniformity_flags). Exact whenever
+  # oow == 0, same as the marcher itself. "off" marches every window.
+  march_skip: str = "off"
 
   def setup(self):
     if self.interp_method != "linear3":
@@ -208,7 +214,9 @@ class PathSampler(nn.Module):
               self.step_size, self.num_samples, jitter,
               block_size=self.tile_block, window=self.march_window,
               refetch_every=self.march_refetch,
-              interp_precision=self.march_interp))
+              interp_precision=self.march_interp,
+              skip_uniform=(True if self.march_skip == "uniform"
+                            else None)))
       self.sow("diagnostics", "march_oow", oow,
                init_fn=lambda: jnp.int32(0),
                reduce_fn=lambda a, b: a + b)
@@ -241,7 +249,8 @@ class PathSampler(nn.Module):
           self.march_mode, bwd_dtype=self.march_bwd_dtype,
           bwd_impl=(None if self.march_bwd_impl == "auto"
                     else self.march_bwd_impl),
-          fwd_interp=self.march_interp)
+          fwd_interp=self.march_interp,
+          fwd_skip=(True if self.march_skip == "uniform" else None))
       pos, dirs, dist, n, g, oow = march(
           self.grid3d.value, origins, directions,
           jnp.asarray(annealed_alpha, jnp.float32), so3_params)
@@ -266,7 +275,8 @@ class PathSampler(nn.Module):
           window=self.march_window, refetch_every=self.march_refetch,
           so3_params=(so3_params if use_pred else None),
           annealed_alpha=annealed_alpha, max_deg=self.max_deg_point,
-          interp_precision=self.march_interp)
+          interp_precision=self.march_interp,
+          skip_uniform=(True if self.march_skip == "uniform" else None))
       self.sow("diagnostics", "march_oow", oow,
                init_fn=lambda: jnp.int32(0),
                reduce_fn=lambda a, b: a + b)

@@ -94,26 +94,32 @@ def make_so3_apply(min_deg, max_deg, annealed, use_residual,
 def make_march_allstage(spec, near, step_size, num_samples, block_size,
                         window, refetch_every, so3_key, fwd_mode,
                         bwd_dtype="float32", bwd_impl=None,
-                        fwd_interp="highest"):
+                        fwd_interp="highest", fwd_skip=None):
   """Build the custom-vjp all-stage marcher (cached per configuration).
 
   bwd_impl selects the reverse-sweep implementation: "stepvjp" (the
   production default — whole adjoint per step inside the reverse scan) or
   "passes" (batched three-pass formulation; measured SLOWER on v5e, kept
   as a documented negative result). None reads $EIKVJP_IMPL.
+
+  fwd_skip enables the fused forward kernel's uniform-window free-space
+  skip (march_kernel.py; exact when oow == 0); None defers to $MARCH_SKIP.
+  The reverse sweep is unchanged — it replays the stored trajectory and
+  its uniform-window adjoints vanish identically (constant n, g == 0).
   """
   if bwd_impl is None:
     bwd_impl = os.environ.get("EIKVJP_IMPL", "stepvjp")
   return _make_march_allstage(spec, near, step_size, num_samples,
                               block_size, window, refetch_every, so3_key,
-                              fwd_mode, bwd_dtype, bwd_impl, fwd_interp)
+                              fwd_mode, bwd_dtype, bwd_impl, fwd_interp,
+                              fwd_skip)
 
 
 @functools.lru_cache(maxsize=None)
 def _make_march_allstage(spec, near, step_size, num_samples, block_size,
                          window, refetch_every, so3_key, fwd_mode,
                          bwd_dtype="float32", bwd_impl="stepvjp",
-                         fwd_interp="highest"):
+                         fwd_interp="highest", fwd_skip=None):
   """Build the custom-vjp all-stage marcher for one static configuration.
 
   Args (all static/hashable):
@@ -163,7 +169,8 @@ def _make_march_allstage(spec, near, step_size, num_samples, block_size,
           block_size=block_size, window=window,
           refetch_every=refetch_every, so3_params=so3_params,
           annealed_alpha=alpha, max_deg=max_deg, normalize_dirs=False,
-          interp_precision=fwd_interp, with_raw=(bwd_impl == "pallas"))
+          interp_precision=fwd_interp, with_raw=(bwd_impl == "pallas"),
+          skip_uniform=fwd_skip)
       if bwd_impl == "pallas":
         return out
       return out + (None,)

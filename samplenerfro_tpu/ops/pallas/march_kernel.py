@@ -159,6 +159,9 @@ def _annealed_pe_t(x, alpha, max_deg):
 
   Row order per degree d: [sin(x*2^d)*w_d (3 rows), sin(x*2^d + pi/2)*w_d
   (3 rows)]; w_d the Nerfies cosine easing window at alpha*max_deg.
+  (Measured: Mosaic's sin is bit-identical to XLA's at the full PE arg
+  range — scripts/debug/dbg_sin.py on v5e — so no in-kernel range
+  reduction is needed.)
   """
   feats = []
   for d in range(max_deg):
@@ -225,7 +228,7 @@ def _so3_refine_t(rp, g, alpha, so3_refs, max_deg,
 def _march_kernel(refs, *, n, w, yext, block_size, nb, refetch, near,
                   step_size, nmin, ndelta, use_pred_grad, max_deg, unroll,
                   interp_precision, so3_precision=None, emit_rows=11,
-                  num_path=None):
+                  num_path=None, skip_brick=None):
   refs = list(refs)
   origins_ref, dirs_ref, grid_hbm, selmat_ref = refs[:4]
   idx = 4
@@ -240,6 +243,9 @@ def _march_kernel(refs, *, n, w, yext, block_size, nb, refetch, near,
   if num_path is not None:
     jitter_ref = refs[idx]
     idx += 1
+  if skip_brick is not None:
+    uflags_ref, namb_ref = refs[idx:idx + 2]
+    idx += 2
   out_ref = refs[idx]
   idx += 1
   if num_path is not None:
@@ -277,9 +283,17 @@ def _march_kernel(refs, *, n, w, yext, block_size, nb, refetch, near,
   cmin = jnp.minimum(jnp.min(cell_now, axis=1), jnp.min(cell_pred, axis=1))
   cmax = jnp.maximum(jnp.max(cell_now, axis=1), jnp.max(cell_pred, axis=1))
 
-  # Per-block window origins + DMAs (start all, then wait all).
+  # Per-block window origins + DMAs (start all, then wait all). With
+  # skip_brick set, a per-block "uniform" scalar is ANDed from the
+  # host-precomputed per-brick uniformity flags covering the window
+  # extent; a uniform window's DMA + transpose (and, per step, its
+  # interp matmuls + so3 MLP) are skipped entirely — in n==ambient
+  # free space with g == 0 the Euler update is exactly p += h/n_amb * d.
   worigin_scalars = []
   dmas = []
+  uni_flags = [None] * nb
+  if skip_brick is not None:
+    nbk = n // skip_brick
   for b in range(nb):
     lo, hi = cmin[3 * b], cmax[3 * b]
     wx = jnp.clip((lo + hi + 1) // 2 - w // 2, 0, n - w)
@@ -290,17 +304,42 @@ def _march_kernel(refs, *, n, w, yext, block_size, nb, refetch, near,
         grid_hbm.at[pl.ds(wx, w), pl.ds(pl.multiple_of(ybase, 8), yext),
                     pl.ds(pl.multiple_of(zbase * 4, 128), zext * 4)],
         brick_ref.at[b], sem_ref.at[b])
-    dma.start()
+    if skip_brick is None:
+      dma.start()
+    else:
+      bx0, bx1 = wx // skip_brick, (wx + w - 1) // skip_brick
+      by0, by1 = ybase // skip_brick, (ybase + yext - 1) // skip_brick
+      bz0, bz1 = zbase // skip_brick, (zbase + zext - 1) // skip_brick
+      u = jnp.int32(1)
+      for bx in (bx0, bx1):
+        for by in (by0, by1):
+          for bz in (bz0, bz1):
+            u = u * uflags_ref[bx * nbk + by, bz]
+      uni_flags[b] = u
+
+      @pl.when(u == 0)
+      def _start(dma=dma):
+        dma.start()
     dmas.append(dma)
   worigin_col = jnp.concatenate(
       [s.reshape(1, 1) for s in worigin_scalars], axis=0)  # [nb*3, 1]
-  for dma in dmas:
-    dma.wait()
+  for b, dma in enumerate(dmas):
+    if uni_flags[b] is None:
+      dma.wait()
+    else:
+      @pl.when(uni_flags[b] == 0)
+      def _wait(dma=dma):
+        dma.wait()
 
   # Transpose each block's window once per reuse period: [wy, zc] -> [zc, wy]
   # so the per-step contraction is a plain (1,)x(0,) matmul.
   for b in range(nb):
-    bt_ref[b] = jnp.transpose(brick_ref[b].reshape(wy, zc), (1, 0))
+    if uni_flags[b] is None:
+      bt_ref[b] = jnp.transpose(brick_ref[b].reshape(wy, zc), (1, 0))
+    else:
+      @pl.when(uni_flags[b] == 0)
+      def _tr(b=b):
+        bt_ref[b] = jnp.transpose(brick_ref[b].reshape(wy, zc), (1, 0))
 
   # Sublane iotas for the one-hot weight rows.
   sub_wy = jax.lax.broadcasted_iota(jnp.int32, (wy, 1), 0)
@@ -336,17 +375,32 @@ def _march_kernel(refs, *, n, w, yext, block_size, nb, refetch, near,
       fx = frac[3 * b:3 * b + 1, :]
       fy = frac[3 * b + 1:3 * b + 2, :]
       fz = frac[3 * b + 2:3 * b + 3, :]
+
       # Stage 1: (x, y) one-hot contraction on the MXU -> [zc, R], then the
       # per-ray z-interp weight on the VPU.
-      wxyt = axis_w(ix, relx, fx) * axis_w(iy, rely, fy)
-      t_zc = jax.lax.dot_general(
-          bt_ref[b], wxyt, (((1,), (0,)), ((), ())),
-          precision=interp_precision, preferred_element_type=jnp.float32)
-      t_zc = t_zc * axis_w(izc, relz, fz)
-      # Stage 2: channel-select matmul -> [4, R].
-      vals = jax.lax.dot_general(
-          selt, t_zc, (((1,), (0,)), ((), ())),
-          precision=interp_precision, preferred_element_type=jnp.float32)
+      def _interp(relx=relx, rely=rely, relz=relz, fx=fx, fy=fy, fz=fz, b=b):
+        wxyt = axis_w(ix, relx, fx) * axis_w(iy, rely, fy)
+        t_zc = jax.lax.dot_general(
+            bt_ref[b], wxyt, (((1,), (0,)), ((), ())),
+            precision=interp_precision, preferred_element_type=jnp.float32)
+        t_zc = t_zc * axis_w(izc, relz, fz)
+        # Stage 2: channel-select matmul -> [4, R].
+        return jax.lax.dot_general(
+            selt, t_zc, (((1,), (0,)), ((), ())),
+            precision=interp_precision, preferred_element_type=jnp.float32)
+
+      if uni_flags[b] is None:
+        vals = _interp()
+      else:
+        # Uniform window: interp of the constant region is n_amb for the
+        # n channel (exact constant vs the matmul's +-1-ulp weight-sum
+        # reassociation) and exactly 0 for the g channels.
+        namb = namb_ref[0, 0]
+        vals = jax.lax.cond(
+            uni_flags[b] == 0, _interp,
+            lambda: jnp.concatenate(
+                [jnp.full((1, r), namb, jnp.float32),
+                 jnp.zeros((3, r), jnp.float32)], axis=0))
       t_blocks.append(vals)
 
     nrows = [t_blocks[b][0:1, :] for b in range(nb)]
@@ -355,12 +409,21 @@ def _march_kernel(refs, *, n, w, yext, block_size, nb, refetch, near,
     n_rep = jnp.concatenate([row for row in nrows for _ in range(3)], axis=0)
     g_all = jnp.concatenate(grows, axis=0)  # [nb*3, R]
     if use_pred_grad:
-      refined = [
-          _so3_refine_t(rp_all[3 * b:3 * b + 3, :], grows[b], alpha,
-                        so3_refs, max_deg,
-                        precision=(so3_precision
-                                   or jax.lax.Precision.HIGHEST))
-          for b in range(nb)]
+      refined = []
+      for b in range(nb):
+        def _so3(b=b):
+          return _so3_refine_t(rp_all[3 * b:3 * b + 3, :], grows[b], alpha,
+                               so3_refs, max_deg,
+                               precision=(so3_precision
+                                          or jax.lax.Precision.HIGHEST))
+        if uni_flags[b] is None:
+          refined.append(_so3())
+        else:
+          # g == 0 in a uniform window, so the |g| > 1e-3 mask inside
+          # _so3_refine_t returns g (= 0) identically: skip the MLP.
+          refined.append(jax.lax.cond(
+              uni_flags[b] == 0, _so3,
+              lambda: jnp.zeros((3, r), jnp.float32)))
       upd_all = jnp.concatenate(refined, axis=0)
     else:
       upd_all = g_all
@@ -418,17 +481,38 @@ def _march_kernel(refs, *, n, w, yext, block_size, nb, refetch, near,
   oow_ref[0, 0] = oow_ref[0, 0] + jnp.sum(oow_vec)
 
 
+def uniformity_flags(grid3d, n, brick):
+  """Per-brick uniformity flags for the free-space skip.
+
+  A brick is "uniform" when its gradient channels are identically 0 AND
+  its n channel equals the grid's corner "ambient" value (free space).
+  Any window covered entirely by uniform bricks interpolates to exactly
+  (n_amb, 0, 0, 0) at every in-window stencil, so the march's Euler
+  update degenerates to the straight line p += h/n_amb * d. Returns
+  (uni [nbk, nbk, nbk] bool, namb scalar). One fused XLA pass over the
+  grid per march call (~0.7 ms at 512^3 on v5e).
+  """
+  nbk = n // brick
+  g4 = grid3d.reshape(n, n, n, 4)
+  namb = g4[0, 0, 0, 0]
+  bricks = g4.reshape(nbk, brick, nbk, brick, nbk, brick, 4)
+  uni = jnp.logical_and(
+      jnp.all(bricks[..., 1:] == 0.0, axis=(1, 3, 5, 6)),
+      jnp.all(bricks[..., 0] == namb, axis=(1, 3, 5)))
+  return uni, namb
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "num_samples", "near", "step_size",
                      "block_size", "window", "refetch_every", "max_deg",
                      "unroll", "interpret", "normalize_dirs",
-                     "interp_precision", "emit"))
+                     "interp_precision", "emit", "skip_uniform"))
 def _march_pallas_impl(spec, data, origins, directions, near, step_size,
                        num_samples, so3_inputs, block_size, window,
                        refetch_every, max_deg, unroll, interpret,
                        normalize_dirs=True, interp_precision="highest",
-                       emit="full", jitter=None):
+                       emit="full", jitter=None, skip_uniform=False):
   n = spec.ndim[0]
   w = window
   yext = w + 8
@@ -440,6 +524,16 @@ def _march_pallas_impl(spec, data, origins, directions, near, step_size,
   emit_rows = 11 if emit == "full" else 7
   num_coarse = None if jitter is None else jitter.shape[-1]
   num_path = None if jitter is None else num_samples // num_coarse
+  # Uniform-window free-space skip: brick granularity _SKIP_BRICK (32)
+  # needs the grid divisible and at least 2 bricks per axis. The in-kernel
+  # uniformity test ANDs the 8 corner bricks of the window extent, which
+  # is complete only while every axis extent spans at most 2 bricks: the
+  # largest unaligned extent covering 2 bricks is _SKIP_BRICK + 1, so the
+  # y extent (w + 8, the widest unaligned axis) must not exceed it. The z
+  # extent (64 = 2 bricks) is 32-aligned, hence always exactly 2 bricks.
+  skip_brick = (_SKIP_BRICK if skip_uniform and n % _SKIP_BRICK == 0
+                and n // _SKIP_BRICK >= 2
+                and yext <= _SKIP_BRICK + 1 else None)
 
   # March-layout grid (see eikonal_tiled): pass [n, n, n*4] to avoid a
   # per-call HBM relayout of the flat shape.
@@ -484,6 +578,13 @@ def _march_pallas_impl(spec, data, origins, directions, near, step_size,
   if jitter is not None:
     in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     inputs.append(jnp.asarray(jitter, jnp.int32).reshape(1, num_coarse))
+  if skip_brick is not None:
+    uni, namb = uniformity_flags(grid3d, n, skip_brick)
+    nbk = n // skip_brick
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    inputs.append(uni.astype(jnp.int32).reshape(nbk * nbk, nbk))
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    inputs.append(namb.astype(jnp.float32).reshape(1, 1))
 
   def wrapped_kernel(*refs):
     return _march_kernel(
@@ -494,7 +595,7 @@ def _march_pallas_impl(spec, data, origins, directions, near, step_size,
         interp_precision=_precision(interp_precision),
         so3_precision=_precision(
             __import__("os").environ.get("MARCH_SO3_PRECISION", "highest")),
-        emit_rows=emit_rows, num_path=num_path)
+        emit_rows=emit_rows, num_path=num_path, skip_brick=skip_brick)
 
   out_specs = [
       pl.BlockSpec((nb, refetch_every, emit_rows, block_size),
@@ -584,13 +685,20 @@ def _to_per_ray(march_arr, batch, steps, rows):
 # chosen block count (measured ~2% faster end-to-end on v5e), else 1.
 _ENV_UNROLL = int(__import__("os").environ.get("MARCH_UNROLL", "0"))
 
+# Uniform-window free-space skip (MARCH_SKIP=uniform): brick granularity
+# of the host-precomputed uniformity flags. 32 keeps the SMEM flag array
+# at [256, 16] int32 (16 KB) for 512^3 grids.
+_SKIP_BRICK = 32
+_ENV_SKIP = __import__("os").environ.get("MARCH_SKIP", "0") in (
+    "uniform", "1")
+
 
 def march_tiled_pallas(spec, data, origins, directions, near, step_size,
                        num_samples, block_size=256, window=8,
                        refetch_every=8, so3_params=None, annealed_alpha=1.0,
                        max_deg=10, unroll=None, interpret=False,
                        normalize_dirs=True, interp_precision=None,
-                       with_raw=False):
+                       with_raw=False, skip_uniform=None):
   """Fused-kernel twin of eikonal_tiled.march_tiled (same returns).
 
   Args match march_tiled; instead of a pred_grad_fn closure, the "all"-stage
@@ -612,7 +720,7 @@ def march_tiled_pallas(spec, data, origins, directions, near, step_size,
       spec, data, origins, directions, near, step_size, num_samples,
       block_size, window, refetch_every, so3_params, annealed_alpha,
       max_deg, unroll, interpret, normalize_dirs, interp_precision,
-      emit="full", jitter=None)
+      emit="full", jitter=None, skip_uniform=skip_uniform)
   pos, dirs, dist, nvals, g, _sub, oow, raw = out
   if with_raw:
     return pos, dirs, dist, nvals, g, oow, raw
@@ -623,7 +731,7 @@ def march_tiled_pallas_lean(spec, data, origins, directions, near,
                             step_size, num_samples, jitter, block_size=256,
                             window=8, refetch_every=8, unroll=None,
                             interpret=False, normalize_dirs=True,
-                            interp_precision=None):
+                            interp_precision=None, skip_uniform=None):
   """Radiance-stage fused march with lean output + in-kernel subsample.
 
   The dense trajectory is emitted with SEVEN channels (pos, dir,
@@ -643,7 +751,8 @@ def march_tiled_pallas_lean(spec, data, origins, directions, near,
   pos, dirs, dist, _n, _g, sub, oow, _raw = _march_pallas_common(
       spec, data, origins, directions, near, step_size, num_samples,
       block_size, window, refetch_every, None, 1.0, 10, unroll, interpret,
-      normalize_dirs, interp_precision, emit="lean", jitter=jitter)
+      normalize_dirs, interp_precision, emit="lean", jitter=jitter,
+      skip_uniform=skip_uniform)
   return (pos, dirs, dist) + sub + (oow,)
 
 
@@ -651,10 +760,12 @@ def _march_pallas_common(spec, data, origins, directions, near, step_size,
                          num_samples, block_size, window, refetch_every,
                          so3_params, annealed_alpha, max_deg, unroll,
                          interpret, normalize_dirs, interp_precision, emit,
-                         jitter):
+                         jitter, skip_uniform=None):
   so3_inputs = None
   if so3_params is not None:
     so3_inputs = (annealed_alpha, so3_params)
+  if skip_uniform is None:
+    skip_uniform = _ENV_SKIP
   if interp_precision is None:
     interp_precision = _INTERP_PRECISION
   # Mosaic kernels only compile for TPU; on CPU (tests, forced-CPU CLI
@@ -698,7 +809,8 @@ def _march_pallas_common(spec, data, origins, directions, near, step_size,
         spec, data, origins, directions, near, step_size, num_samples,
         so3_inputs, block_size, window, refetch_every, max_deg, unroll,
         interpret, normalize_dirs=normalize_dirs,
-        interp_precision=interp_precision, emit=emit, jitter=jitter)
+        interp_precision=interp_precision, emit=emit, jitter=jitter,
+        skip_uniform=skip_uniform)
 
   parts = []
   raws = []
@@ -711,7 +823,7 @@ def _march_pallas_common(spec, data, origins, directions, near, step_size,
         step_size, num_samples, so3_inputs, block_size, window,
         refetch_every, max_deg, unroll, interpret,
         normalize_dirs=normalize_dirs, interp_precision=interp_precision,
-        emit=emit, jitter=jitter)
+        emit=emit, jitter=jitter, skip_uniform=skip_uniform)
     parts.append((pos, dirs, dist, nvals, g) + (sub if sub else ()))
     raws.append(raw)
     oow_total = oow_total + oow

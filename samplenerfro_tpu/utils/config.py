@@ -233,6 +233,13 @@ def define_flags():
                     "and subsamples the jittered coarse points in-kernel "
                     "(auto-demoted to full for online sparsity and the "
                     "'all' stage).")
+  flags.DEFINE_enum("march_skip", "off", ["off", "uniform"],
+                    "fused-march free-space skip: uniform predicates away "
+                    "the window DMA + interp matmuls + so3 MLP for windows "
+                    "covered by exactly-uniform IOR bricks (free space), "
+                    "where the Euler update is exactly p += h/n_amb * d. "
+                    "Exact whenever march_oow == 0. off marches every "
+                    "window ($MARCH_SKIP is the env ablation override).")
   flags.DEFINE_enum("march_bwd_dtype", "float32", ["float32", "bfloat16"],
                     "compute dtype of the 'all'-stage analytic reverse "
                     "sweep's batched Jacobian/parameter passes "

@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
 """On-device debug: per-leaf grad deviation of both reverse-sweep impls."""
 import os
 import numpy as np

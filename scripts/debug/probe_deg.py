@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
 import jax, numpy as np, jax.numpy as jnp
 from jax import random
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")

@@ -293,3 +293,216 @@ def test_mxu_epilogue_bit_exact(monkeypatch):
   run_both(march_kernel.march_tiled_pallas_lean, spec, data, o, d, near,
            h, S, jitter, block_size=16, window=16, refetch_every=8,
            interpret=True)
+
+
+# ---------------------------------------------------------------------------
+# Uniform-window free-space skip (MARCH_SKIP=uniform / skip_uniform=True).
+# ---------------------------------------------------------------------------
+
+
+def _compact_bump_setup(n=64):
+  """Grid that is EXACTLY 1.0 (grad exactly 0) outside one 32^3 brick.
+
+  A C1 compactly-supported bump lives strictly inside the (+,+,+) octant
+  (brick (1,1,1) at n=64, _SKIP_BRICK=32) with >=2 voxels of margin, so
+  every other brick is uniform: value bit-equal to the ambient corner
+  value and central-difference gradient identically zero.
+  """
+  spec = grid_ops.GridSpec([n] * 3, [-1.5] * 3, [1.5] * 3)
+  axes = np.linspace(-1.5, 1.5, n)
+  xx, yy, zz = np.meshgrid(axes, axes, axes, indexing="ij")
+  r2 = (xx - 0.75)**2 + (yy - 0.75)**2 + (zz - 0.75)**2
+  bump = np.maximum(0.0, 1.0 - r2 / 0.09)**2
+  vals = (1.0 + 0.3 * bump).reshape(-1, 1).astype(np.float32)
+  values = jnp.asarray(vals)
+  grad = grid_ops.central_difference_grad(spec, values)
+  data = jnp.concatenate([values, grad], axis=-1)
+  return spec, data
+
+
+def test_uniformity_flags():
+  spec, data = _compact_bump_setup()
+  n = 64
+  grid3d = data.reshape(n, n, n * 4)
+  uni, namb = march_kernel.uniformity_flags(grid3d, n, 32)
+  assert float(namb) == 1.0
+  uni = np.array(uni)
+  assert uni.shape == (2, 2, 2)
+  assert not uni[1, 1, 1]          # the bump brick
+  assert uni.sum() == 7            # every other octant is uniform
+  # An all-ambient grid is uniform everywhere.
+  ones = jnp.concatenate([jnp.ones((n**3, 1)), jnp.zeros((n**3, 3))],
+                         axis=-1).reshape(n, n, n * 4)
+  uni2, namb2 = march_kernel.uniformity_flags(ones, n, 32)
+  assert bool(np.array(uni2).all()) and float(namb2) == 1.0
+
+
+def test_pallas_march_skip_fully_uniform_exact():
+  """On an all-ambient grid the skipped march is EXACTLY the Euler line."""
+  n = 64
+  spec = grid_ops.GridSpec([n] * 3, [-1.5] * 3, [1.5] * 3)
+  namb = np.float32(1.2)
+  data = jnp.concatenate(
+      [jnp.full((n**3, 1), namb), jnp.zeros((n**3, 3))], axis=-1)
+  o, d = _pencil()
+  S, near = 32, 2.0
+  h = 4.0 / (S - 1)
+  out = march_kernel.march_tiled_pallas(
+      spec, data, o, d, near, h, S, block_size=16, window=16,
+      refetch_every=8, interpret=True, skip_uniform=True,
+      normalize_dirs=False)
+  pos, dirs, dist, nv, g, oow = out
+  assert int(oow) == 0
+  # Bit-exact float32 Euler replay: p += f32(h)/namb * d, d constant.
+  p = (np.array(o) + np.float32(near) * np.array(d)).astype(np.float32)
+  dnp = np.array(d)
+  step = np.float32(np.float32(h) / namb)
+  want_pos = []
+  for _ in range(S):
+    want_pos.append(p.copy())
+    p = (p + step * dnp).astype(np.float32)
+  want_pos = np.stack(want_pos, axis=1)
+  # The backend may fuse the Euler mul+add into an FMA; positions match
+  # the separate-rounding numpy replay to one rounding step.
+  np.testing.assert_allclose(np.array(pos), want_pos, atol=1e-6)
+  # Direction never bends in free space (g == 0 exactly).
+  np.testing.assert_array_equal(
+      np.array(dirs), np.broadcast_to(dnp[:, None], (16, S, 3)))
+  np.testing.assert_array_equal(np.array(nv), np.full((16, S, 1), namb))
+  np.testing.assert_array_equal(np.array(g), np.zeros((16, S, 3)))
+
+
+def _skip_rays():
+  """Two 16-ray blocks: one in pure free space, one crossing the bump."""
+  o_free, d_free = _pencil(16)
+  o_free = o_free + jnp.asarray([-0.75, -0.75, 0.0])   # uniform octant
+  o_bump, d_bump = _pencil(16)
+  o_bump = o_bump + jnp.asarray([0.75, 0.75, 0.0])     # through the bump
+  o = jnp.concatenate([o_free, o_bump], axis=0)
+  d = jnp.concatenate([d_free, d_bump], axis=0)
+  return o, d
+
+
+@pytest.mark.parametrize("window", [16, 24])
+def test_pallas_march_skip_mixed_blocks(window):
+  """Skip on a mixed batch: free-space block skips, bump block marches.
+
+  The skipped block's trajectory may differ from the unskipped one only
+  by the interp matmul's ~1-ulp weight-sum reassociation per step; the
+  bump block (never skipped: its z window covers the bump brick) must be
+  bit-identical.
+  """
+  spec, data = _compact_bump_setup()
+  o, d = _skip_rays()
+  S, near = 32, 2.0
+  h = 4.0 / (S - 1)
+  kwargs = dict(block_size=16, window=window, refetch_every=8,
+                interpret=True)
+  base = march_kernel.march_tiled_pallas(spec, data, o, d, near, h, S,
+                                         **kwargs)
+  skip = march_kernel.march_tiled_pallas(spec, data, o, d, near, h, S,
+                                         skip_uniform=True, **kwargs)
+  assert int(base[5]) == 0 and int(skip[5]) == 0
+  for name, a, b in zip(("pos", "dir", "dist", "n", "g"), base[:5],
+                        skip[:5]):
+    a, b = np.array(a), np.array(b)
+    np.testing.assert_allclose(a[:16], b[:16], atol=1e-5,
+                               err_msg=f"free {name}")
+    np.testing.assert_array_equal(a[16:], b[16:], err_msg=f"bump {name}")
+  # The free-space block really is exact ambient free space.
+  np.testing.assert_array_equal(np.array(skip[3][:16]),
+                                np.ones((16, S, 1), np.float32))
+
+
+def test_pallas_march_skip_so3_path():
+  """Skip with the in-kernel so3 head: skipped windows bypass the MLP."""
+  spec, data = _compact_bump_setup()
+  o, d = _skip_rays()
+  S, near = 32, 2.0
+  h = 4.0 / (S - 1)
+  max_deg = 10
+  so3 = fmlp.mlp_init(random.PRNGKey(3), 2 * 3 * max_deg, net_depth=4,
+                      net_width=128, skip_layer=2, num_out_channels=3,
+                      output_init_std=1e-2)
+  kwargs = dict(block_size=16, window=16, refetch_every=8,
+                so3_params=so3, annealed_alpha=0.7, max_deg=max_deg,
+                interpret=True)
+  base = march_kernel.march_tiled_pallas(spec, data, o, d, near, h, S,
+                                         **kwargs)
+  skip = march_kernel.march_tiled_pallas(spec, data, o, d, near, h, S,
+                                         skip_uniform=True, **kwargs)
+  assert int(base[5]) == 0 and int(skip[5]) == 0
+  for name, a, b in zip(("pos", "dir", "dist", "n", "g"), base[:5],
+                        skip[:5]):
+    a, b = np.array(a), np.array(b)
+    np.testing.assert_allclose(a[:16], b[:16], atol=1e-5,
+                               err_msg=f"free {name}")
+    # The cond wrapper around the so3 MLP moves fusion/FMA boundaries;
+    # the never-skipped block matches to one rounding step.
+    np.testing.assert_allclose(a[16:], b[16:], atol=1e-6,
+                               err_msg=f"bump {name}")
+
+
+def test_pallas_march_skip_lean():
+  """Skip composes with lean emit + in-kernel subsample."""
+  spec, data = _compact_bump_setup()
+  o, d = _skip_rays()
+  S, near = 32, 2.0
+  h = 4.0 / (S - 1)
+  jitter = _jitter(S, num_path=4)
+  kwargs = dict(block_size=16, window=16, refetch_every=8, interpret=True)
+  base = march_kernel.march_tiled_pallas_lean(
+      spec, data, o, d, near, h, S, jitter, **kwargs)
+  skip = march_kernel.march_tiled_pallas_lean(
+      spec, data, o, d, near, h, S, jitter, skip_uniform=True, **kwargs)
+  assert int(base[6]) == 0 and int(skip[6]) == 0
+  names = ("pos", "dir", "dist", "sub_pos", "sub_dir", "sub_dist")
+  for name, a, b in zip(names, base[:6], skip[:6]):
+    a, b = np.array(a), np.array(b)
+    np.testing.assert_allclose(a[:16], b[:16], atol=1e-5,
+                               err_msg=f"free {name}")
+    np.testing.assert_array_equal(a[16:], b[16:], err_msg=f"bump {name}")
+
+
+def test_pallas_march_skip_still_counts_violations():
+  """oow accounting is unchanged by the skip (exactness gate semantics).
+
+  A spread-out block violates its window whether or not the window is
+  uniform; the skip must not silence the count (positions outside the
+  window may lie in non-uniform bricks the flags never checked).
+  """
+  n = 64
+  spec = grid_ops.GridSpec([n] * 3, [-1.5] * 3, [1.5] * 3)
+  data = jnp.concatenate(
+      [jnp.ones((n**3, 1)), jnp.zeros((n**3, 3))], axis=-1)
+  rng = np.random.RandomState(0)
+  d = rng.randn(16, 3).astype(np.float32)
+  d /= np.linalg.norm(d, axis=-1, keepdims=True)
+  o = (rng.randn(16, 3) * 1.0).astype(np.float32)
+  args = (spec, data, jnp.asarray(o), jnp.asarray(d), 2.0, 4.0 / 31, 32)
+  kwargs = dict(block_size=16, window=8, refetch_every=8, interpret=True)
+  base = march_kernel.march_tiled_pallas(*args, **kwargs)
+  skip = march_kernel.march_tiled_pallas(*args, skip_uniform=True, **kwargs)
+  assert int(base[5]) > 0
+  assert int(skip[5]) == int(base[5])
+
+
+def test_skip_guard_wide_window():
+  """Windows whose y extent can span 3 bricks silently disable the skip.
+
+  window=32 -> yext=40 > _SKIP_BRICK+1: the 8-corner uniformity test
+  would miss a middle brick, so the skip must turn itself off (results
+  equal the unskipped kernel bit-for-bit, uniform windows included).
+  """
+  spec, data = _compact_bump_setup()
+  o, d = _skip_rays()
+  S, near = 32, 2.0
+  h = 4.0 / (S - 1)
+  kwargs = dict(block_size=16, window=32, refetch_every=8, interpret=True)
+  base = march_kernel.march_tiled_pallas(spec, data, o, d, near, h, S,
+                                         **kwargs)
+  skip = march_kernel.march_tiled_pallas(spec, data, o, d, near, h, S,
+                                         skip_uniform=True, **kwargs)
+  for i, (a, b) in enumerate(zip(base, skip)):
+    np.testing.assert_array_equal(np.array(a), np.array(b),
+                                  err_msg=f"output {i}")
