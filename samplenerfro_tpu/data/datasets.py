@@ -70,6 +70,8 @@ class Dataset(threading.Thread):
     self.precrop_frac = args.precrop_frac
     self.patch_size = args.bg_patch_size
     self.tile_size = int(getattr(args, "tile_size", 16))
+    self.tile_stride = int(getattr(args, "tile_stride", 1))
+    self.tile_images = bool(getattr(args, "tile_images", False))
     if split == "train":
       self._train_init(args)
     elif split in ("val", "test"):
@@ -178,28 +180,53 @@ class Dataset(threading.Thread):
             "env_rays": batch_env_rays}
 
   def _next_train_tile(self):
-    """Sample random pixel tiles from one image (tile-coherent batches).
+    """Sample random pixel tiles (tile-coherent batches).
 
     Feeds the tiled eikonal marcher (ops/eikonal_tiled.py): each
     consecutive tile_size^2 chunk of the batch is one spatially-coherent
     pixel tile. Opt-in via --batching=tile; the reference's iid-pixel
     sampling is the default.
+
+    Two decorrelation knobs (quality mitigations for the tile-vs-iid
+    PSNR gap; both preserve the marcher's block coherence):
+      --tile_stride=s samples each tile's tile_size^2 pixels on a
+        stride-s lattice covering a (tile_size*s)^2 region — s^2 x less
+        pixel-space correlation for ~one window tier of extra march
+        drift (absorbed by --march_window=0 auto-calibration).
+      --tile_images=1 draws every tile from an independently-sampled
+        training image instead of one shared image per batch.
     """
     tile = self.tile_size
+    stride = self.tile_stride
     n_tiles = self.batch_size // (tile * tile)
     assert n_tiles * tile * tile == self.batch_size, (
         "batch_size must be a multiple of tile_size^2 for tile batching")
+    span = (tile - 1) * stride + 1
+    assert span <= self.h and span <= self.w, (
+        f"tile_size {tile} at stride {stride} exceeds the {self.h}x{self.w} "
+        "image")
     image_index = np.random.randint(0, self.n_examples, ())
     coords = np.arange(self.rays[0][0].shape[0]).reshape(self.h, self.w)
-    idx_list = []
+    idx_list, img_list = [], []
     for _ in range(n_tiles):
-      x = np.random.randint(0, self.w - tile + 1)
-      y = np.random.randint(0, self.h - tile + 1)
-      idx_list.append(coords[y:y + tile, x:x + tile].reshape(-1))
-    ray_indices = np.concatenate(idx_list)
-    batch_pixels = self.images[image_index][ray_indices]
-    batch_rays = namedtuple_map(
-        lambda r: r[image_index][ray_indices], self.rays)
+      x = np.random.randint(0, self.w - span + 1)
+      y = np.random.randint(0, self.h - span + 1)
+      idx_list.append(coords[y:y + span:stride, x:x + span:stride]
+                      .reshape(-1))
+      img_list.append(np.random.randint(0, self.n_examples, ())
+                      if self.tile_images else image_index)
+    if self.tile_images:
+      batch_pixels = np.concatenate(
+          [self.images[im][idx] for im, idx in zip(img_list, idx_list)])
+      batch_rays = namedtuple_map(
+          lambda r: np.concatenate(
+              [r[im][idx] for im, idx in zip(img_list, idx_list)]),
+          self.rays)
+    else:
+      ray_indices = np.concatenate(idx_list)
+      batch_pixels = self.images[image_index][ray_indices]
+      batch_rays = namedtuple_map(
+          lambda r: r[image_index][ray_indices], self.rays)
 
     batch_env_rays = None
     if self.patch_size > 0:

@@ -212,6 +212,16 @@ def define_flags():
                     "'all' training stage uses tiled for march gradients).")
   flags.DEFINE_integer("tile_size", 16,
                        "pixel tile side for the tiled marcher.")
+  flags.DEFINE_integer("tile_stride", 1,
+                       "pixel stride inside each training tile "
+                       "(--batching=tile): stride s spreads the "
+                       "tile_size^2 rays over a (tile_size*s)^2 region, "
+                       "cutting intra-tile pixel correlation s^2-fold "
+                       "while keeping march-block coherence (window "
+                       "auto-calibration absorbs the extra drift).")
+  flags.DEFINE_bool("tile_images", False,
+                    "sample each training tile from an independent image "
+                    "(--batching=tile) instead of one image per batch.")
   flags.DEFINE_integer("march_window", 16,
                        "grid-point window side for the tiled marcher; 0 "
                        "auto-calibrates the smallest violation-free window "

@@ -92,6 +92,14 @@ def main():
   p.add_argument("--march_interp", default="highest",
                  choices=["highest", "high", "default"],
                  help="fused-march interpolation precision (A/B knob)")
+  p.add_argument("--march_skip", default="off", choices=["off", "uniform"],
+                 help="fused-march uniform-window free-space skip (A/B "
+                 "knob; exact when march_oow == 0)")
+  p.add_argument("--tile_stride", type=int, default=1,
+                 help="pixel stride inside each training tile (tile-"
+                 "batching decorrelation A/B knob)")
+  p.add_argument("--tile_images", action="store_true",
+                 help="sample each training tile from an independent image")
   args = p.parse_args()
   march_mode = args.march_mode or (
       "tiled" if args.batching == "tile" else "scan")
@@ -112,6 +120,12 @@ def main():
     tag += f"_interp-{args.march_interp}"
   if args.march_bwd_impl != "auto":
     tag += f"_bwd-{args.march_bwd_impl}"
+  if args.march_skip != "off":
+    tag += "_skip"
+  if args.tile_stride != 1:
+    tag += f"_ts{args.tile_stride}"
+  if args.tile_images:
+    tag += "_timg"
   cfg_base = os.path.join(args.workdir, f"cfg_{tag}")
   with open(cfg_base + ".yaml", "w") as f:
     # Annealing window scales with the budget (the reference anneals over
@@ -140,7 +154,10 @@ def main():
            f"--data_dir={data_dir}", f"--train_dir={train_dir}",
            f"--config={cfg_base}", f"--gin_file={cfg_base}.gin",
            f"--stage={stage}",
-           f"--march_interp={args.march_interp}"] + extra
+           f"--march_interp={args.march_interp}",
+           f"--march_skip={args.march_skip}",
+           f"--tile_stride={args.tile_stride}",
+           f"--tile_images={str(args.tile_images).lower()}"] + extra
     print("running", cmd_name, "...")
     proc = subprocess.run(cmd, env=env, cwd=REPO)
     if proc.returncode != 0:
@@ -171,6 +188,9 @@ def main():
              f"--stage={all_stage}", f"--max_steps={total}",
              f"--save_every={total}",
              f"--march_interp={args.march_interp}",
+             f"--march_skip={args.march_skip}",
+             f"--tile_stride={args.tile_stride}",
+             f"--tile_images={str(args.tile_images).lower()}",
              f"--march_bwd_dtype={args.march_bwd_dtype}",
              f"--march_bwd_impl={args.march_bwd_impl}"] + extra
       print("running", cmd_name, "...")
