@@ -24,6 +24,7 @@ from jax import random
 
 from samplenerfro_tpu.models import mlp as mlp_modules
 from samplenerfro_tpu.models import path_sampler as ps_module
+from samplenerfro_tpu.ops.pallas import march_kernel
 from samplenerfro_tpu.ops.pallas import mlp_kernel as pallas_mlp
 from samplenerfro_tpu.ops import grid as grid_ops
 from samplenerfro_tpu.ops import math as math_ops
@@ -586,4 +587,12 @@ def construct_nerf(key, example_batch, args, ndim, nmin, nmax, grid,
   nx, ny, nz = spec.ndim
   gcol["data"] = jnp.asarray(grid_data, jnp.float32)
   gcol["data3d"] = jnp.asarray(grid_data.reshape(nx, ny, nz * 4), jnp.float32)
+  if "skip_uni" in gcol:
+    # Free-space-skip uniformity flags (march_skip="uniform"): static per
+    # scene, host-precomputed once here instead of a full grid pass
+    # inside every jitted march (models/path_sampler.py setup).
+    flags = march_kernel.host_skip_flags(grid_data, nx)
+    if flags is not None:
+      gcol["skip_uni"] = jnp.asarray(flags[0])
+      gcol["skip_namb"] = jnp.asarray(flags[1])
   return model, init_variables

@@ -140,6 +140,22 @@ class PathSampler(nn.Module):
     # v5e), so it is materialized once here instead of inside every
     # train/render step.
     self.grid3d = self.variable("grid", "data3d", _init_3d)
+    # Free-space-skip uniformity flags (march_skip="uniform"): static per
+    # scene, so they are HOST-precomputed once (march_kernel.
+    # host_skip_flags, installed by construct_nerf alongside the grid) —
+    # recomputing them inside the jitted step costs a full pass over the
+    # grid per call. The all-zeros init means "no brick is uniform": the
+    # skip never fires (exact march) until the real flags are installed.
+    self.skip_flags = None
+    brick = march_kernel.SKIP_BRICK
+    if (self.march_skip == "uniform" and nx == ny == nz
+        and nx % brick == 0 and nx // brick >= 2):
+      nbk = nx // brick
+      self.skip_flags = (
+          self.variable("grid", "skip_uni",
+                        lambda: jnp.zeros((nbk * nbk, nbk), jnp.float32)),
+          self.variable("grid", "skip_namb",
+                        lambda: jnp.ones((1, 1), jnp.float32)))
 
   def _embed(self, x, annealed_alpha):
     if self.annealed:
@@ -201,6 +217,15 @@ class PathSampler(nn.Module):
     data = self.grid.value
     use_pred = self.stage.startswith("all")
     so3_params = self.so3_mlp
+    # Free-space skip argument for the fused kernel: the precomputed
+    # (uni, namb) pair when the grid variables exist (zero per-step
+    # cost), else True = recompute in-jit (a full grid pass per call).
+    if self.march_skip != "uniform":
+      skip_arg = None
+    elif self.skip_flags is not None:
+      skip_arg = (self.skip_flags[0].value, self.skip_flags[1].value)
+    else:
+      skip_arg = True
 
     if (jitter is not None and self.march_emit == "lean" and not use_pred
         and self.march_mode == "pallas" and self.march_window > 0
@@ -215,8 +240,7 @@ class PathSampler(nn.Module):
               block_size=self.tile_block, window=self.march_window,
               refetch_every=self.march_refetch,
               interp_precision=self.march_interp,
-              skip_uniform=(True if self.march_skip == "uniform"
-                            else None)))
+              skip_uniform=skip_arg))
       self.sow("diagnostics", "march_oow", oow,
                init_fn=lambda: jnp.int32(0),
                reduce_fn=lambda a, b: a + b)
@@ -253,7 +277,8 @@ class PathSampler(nn.Module):
           fwd_skip=(True if self.march_skip == "uniform" else None))
       pos, dirs, dist, n, g, oow = march(
           self.grid3d.value, origins, directions,
-          jnp.asarray(annealed_alpha, jnp.float32), so3_params)
+          jnp.asarray(annealed_alpha, jnp.float32), so3_params,
+          skip_flags=(skip_arg if isinstance(skip_arg, tuple) else ()))
       self.sow("diagnostics", "march_oow", oow,
                init_fn=lambda: jnp.int32(0),
                reduce_fn=lambda a, b: a + b)
@@ -275,8 +300,7 @@ class PathSampler(nn.Module):
           window=self.march_window, refetch_every=self.march_refetch,
           so3_params=(so3_params if use_pred else None),
           annealed_alpha=annealed_alpha, max_deg=self.max_deg_point,
-          interp_precision=self.march_interp,
-          skip_uniform=(True if self.march_skip == "uniform" else None))
+          interp_precision=self.march_interp, skip_uniform=skip_arg)
       self.sow("diagnostics", "march_oow", oow,
                init_fn=lambda: jnp.int32(0),
                reduce_fn=lambda a, b: a + b)

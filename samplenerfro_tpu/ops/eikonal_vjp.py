@@ -152,7 +152,8 @@ def _make_march_allstage(spec, near, step_size, num_samples, block_size,
   bdt = jnp.dtype(bwd_dtype)
   exact_bwd = bdt == jnp.float32
 
-  def _run_fwd(data3d, origins, directions, alpha, so3_params):
+  def _run_fwd(data3d, origins, directions, alpha, so3_params,
+               skip_flags=()):
     """Returns (pos, dirs_raw, dist, nvals, g, oow, raw_or_None).
 
     `raw` is the fused forward kernel's march-layout [nb, S, 11, R]
@@ -170,7 +171,7 @@ def _make_march_allstage(spec, near, step_size, num_samples, block_size,
           refetch_every=refetch_every, so3_params=so3_params,
           annealed_alpha=alpha, max_deg=max_deg, normalize_dirs=False,
           interp_precision=fwd_interp, with_raw=(bwd_impl == "pallas"),
-          skip_uniform=fwd_skip)
+          skip_uniform=(tuple(skip_flags) if skip_flags else fwd_skip))
       if bwd_impl == "pallas":
         return out
       return out + (None,)
@@ -182,16 +183,17 @@ def _make_march_allstage(spec, near, step_size, num_samples, block_size,
         normalize_dirs=False) + (None,)
 
   @jax.custom_vjp
-  def march(data3d, origins, directions, alpha, so3_params):
+  def march(data3d, origins, directions, alpha, so3_params, skip_flags):
     pos, dirs_raw, dist, nvals, g, oow, _raw = _run_fwd(
-        data3d, origins, directions, alpha, so3_params)
+        data3d, origins, directions, alpha, so3_params, skip_flags)
     return (pos, math_ops.safe_l2_normalize(dirs_raw), dist, nvals, g, oow)
 
-  def fwd(data3d, origins, directions, alpha, so3_params):
+  def fwd(data3d, origins, directions, alpha, so3_params, skip_flags):
     pos, dirs_raw, dist, nvals, g, oow, raw = _run_fwd(
-        data3d, origins, directions, alpha, so3_params)
+        data3d, origins, directions, alpha, so3_params, skip_flags)
     out = (pos, math_ops.safe_l2_normalize(dirs_raw), dist, nvals, g, oow)
-    res = (data3d, alpha, so3_params, pos, dirs_raw, nvals, g, raw)
+    res = (data3d, alpha, so3_params, pos, dirs_raw, nvals, g, raw,
+           skip_flags)
     return out, res
 
   embed, head = make_so3_parts(*so3_key)
@@ -220,7 +222,7 @@ def _make_march_allstage(spec, near, step_size, num_samples, block_size,
     is reassociated), so it matches jax.grad of the tiled forward to fp32
     round-off (tests/test_eikonal_vjp.py, train/selfcheck.py on device).
     """
-    data3d, alpha, so3_params, pos, dirs_raw, nvals, g, _raw = res
+    data3d, alpha, so3_params, pos, dirs_raw, nvals, g, _raw, skip_flags = res
     dpos, ddirs, ddist, dn, dg, _doow = cts
     batch = pos.shape[0]
     nb = batch // block_size
@@ -426,7 +428,7 @@ def _make_march_allstage(spec, near, step_size, num_samples, block_size,
     origins_bar = pbar.reshape(batch, 3)
     directions_bar = (near * pbar + dbar).reshape(batch, 3)
     return (jnp.zeros_like(data3d), origins_bar, directions_bar, alphabar,
-            thetabar)
+            thetabar, jax.tree_util.tree_map(jnp.zeros_like, skip_flags))
 
   # Round-2 formulation kept as a selectable implementation: the whole
   # adjoint (so3 vjp + interp weight-derivative contractions) evaluated
@@ -434,7 +436,7 @@ def _make_march_allstage(spec, near, step_size, num_samples, block_size,
   # in-scan small matmuls well, so it is competitive with the batched
   # three-pass formulation; EIKVJP_IMPL picks at trace time.
   def bwd_stepvjp(res, cts):
-    data3d, alpha, so3_params, pos, dirs_raw, nvals, g, _raw = res
+    data3d, alpha, so3_params, pos, dirs_raw, nvals, g, _raw, skip_flags = res
     dpos, ddirs, ddist, dn, dg, _doow = cts
     batch = pos.shape[0]
     nb = batch // block_size
@@ -560,7 +562,7 @@ def _make_march_allstage(spec, near, step_size, num_samples, block_size,
     origins_bar = pbar.reshape(batch, 3)
     directions_bar = (near * pbar + dbar).reshape(batch, 3)
     return (jnp.zeros_like(data3d), origins_bar, directions_bar, alphabar,
-            thetabar)
+            thetabar, jax.tree_util.tree_map(jnp.zeros_like, skip_flags))
 
   def bwd_pallas(res, cts):
     """Fused-kernel reverse sweep (ops/pallas/march_bwd_kernel.py).
@@ -571,7 +573,7 @@ def _make_march_allstage(spec, near, step_size, num_samples, block_size,
     what bounds both XLA formulations on v5e). Falls back to the stepvjp
     sweep when the configuration is outside the kernel's support.
     """
-    data3d, alpha, so3_params, pos, dirs_raw, nvals, g, raw = res
+    data3d, alpha, so3_params, pos, dirs_raw, nvals, g, raw, skip_flags = res
     if not (pallas_so3_ok and march_bwd_kernel.supports(
         spec, num_samples, pos.shape[0], block_size, window,
         refetch_every)):
@@ -590,8 +592,18 @@ def _make_march_allstage(spec, near, step_size, num_samples, block_size,
             interp_precision=("highest" if exact_bwd else "default"),
             traj_raw=raw))
     return (jnp.zeros_like(data3d), origins_bar, directions_bar, alphabar,
-            thetabar)
+            thetabar, jax.tree_util.tree_map(jnp.zeros_like, skip_flags))
 
   march.defvjp(fwd, {"stepvjp": bwd_stepvjp, "passes": bwd,
                      "pallas": bwd_pallas}[bwd_impl])
-  return march
+
+  def march_api(data3d, origins, directions, alpha, so3_params,
+                skip_flags=()):
+    """skip_flags: optional host-precomputed (uni, namb) free-space-skip
+    pair (march_kernel.host_skip_flags) — threaded as explicit custom_vjp
+    arguments (zero cotangent) because the lru-cached builder only takes
+    hashable statics. Empty = derive in-jit when fwd_skip is set."""
+    return march(data3d, origins, directions, alpha, so3_params,
+                 tuple(skip_flags))
+
+  return march_api

@@ -489,17 +489,51 @@ def uniformity_flags(grid3d, n, brick):
   Any window covered entirely by uniform bricks interpolates to exactly
   (n_amb, 0, 0, 0) at every in-window stencil, so the march's Euler
   update degenerates to the straight line p += h/n_amb * d. Returns
-  (uni [nbk, nbk, nbk] bool, namb scalar). One fused XLA pass over the
-  grid per march call (~0.7 ms at 512^3 on v5e).
+  (uni [nbk, nbk, nbk] bool, namb scalar).
+
+  Layout note: every reshape below is a contiguous row-major split and
+  the first (large) reduction runs over the minormost (lane) axis — the
+  naive 7-D reshape + strided multi-axis `jnp.all` costs >100 ms at
+  512^3 on v5e (a relayout of the whole 2 GB grid), this form ~3 ms.
+  Production marches avoid even that by passing HOST-precomputed flags
+  (host_skip_flags; threaded via the model's 'grid' variable
+  collection) — the grid is static per scene, so the flags are too.
   """
   nbk = n // brick
-  g4 = grid3d.reshape(n, n, n, 4)
-  namb = g4[0, 0, 0, 0]
-  bricks = g4.reshape(nbk, brick, nbk, brick, nbk, brick, 4)
-  uni = jnp.logical_and(
-      jnp.all(bricks[..., 1:] == 0.0, axis=(1, 3, 5, 6)),
-      jnp.all(bricks[..., 0] == namb, axis=(1, 3, 5)))
+  g = grid3d.reshape(n, n, n * 4)
+  namb = g[0, 0, 0]
+  tgt = jnp.tile(jnp.concatenate(
+      [namb.reshape(1), jnp.zeros((3,), grid3d.dtype)]), n)
+  eq = g == tgt  # [n, n, n*4]
+  r1 = jnp.all(eq.reshape(n, n, nbk, brick * 4), axis=-1)  # lane reduce
+  r2 = jnp.all(r1.reshape(n, nbk, brick, nbk), axis=2)
+  uni = jnp.all(r2.reshape(nbk, brick, nbk, nbk), axis=1)
   return uni, namb
+
+
+def host_skip_flags(grid_flat, n, brick=None):
+  """Host (numpy) precompute of the free-space-skip flag arrays.
+
+  Returns (uni [nbk*nbk, nbk] float32, namb [1, 1] float32) in the
+  layout `_march_pallas_impl` feeds the kernel's SMEM refs, or None when
+  the grid shape does not support the skip (not divisible by the brick
+  size / fewer than 2 bricks per axis). float32 (not int) so the arrays
+  thread through differentiable call paths with ordinary zero
+  cotangents. One numpy pass per scene load — the flags are static.
+  """
+  brick = _SKIP_BRICK if brick is None else brick
+  if n % brick != 0 or n // brick < 2:
+    return None
+  nbk = n // brick
+  g = np.asarray(grid_flat, np.float32).reshape(n, n, n * 4)
+  namb = g[0, 0, 0]
+  tgt = np.tile(np.array([namb, 0.0, 0.0, 0.0], np.float32), n)
+  r1 = np.all(g.reshape(n, n, nbk, brick * 4) == tgt.reshape(nbk, brick * 4),
+              axis=-1)
+  r2 = np.all(r1.reshape(n, nbk, brick, nbk), axis=2)
+  uni = np.all(r2.reshape(nbk, brick, nbk, nbk), axis=1)
+  return (uni.reshape(nbk * nbk, nbk).astype(np.float32),
+          np.full((1, 1), namb, np.float32))
 
 
 @functools.partial(
@@ -512,7 +546,8 @@ def _march_pallas_impl(spec, data, origins, directions, near, step_size,
                        num_samples, so3_inputs, block_size, window,
                        refetch_every, max_deg, unroll, interpret,
                        normalize_dirs=True, interp_precision="highest",
-                       emit="full", jitter=None, skip_uniform=False):
+                       emit="full", jitter=None, skip_uniform=False,
+                       skip_flags=None):
   n = spec.ndim[0]
   w = window
   yext = w + 8
@@ -579,12 +614,22 @@ def _march_pallas_impl(spec, data, origins, directions, near, step_size,
     in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     inputs.append(jnp.asarray(jitter, jnp.int32).reshape(1, num_coarse))
   if skip_brick is not None:
-    uni, namb = uniformity_flags(grid3d, n, skip_brick)
     nbk = n // skip_brick
+    if skip_flags is not None:
+      # Host-precomputed (host_skip_flags): static per scene, zero
+      # per-step cost. The in-jit fallback below re-derives them from
+      # the grid every call (~3 ms at 512^3) — fine for one-shot
+      # callers (selfcheck, tests), wasteful in a train step.
+      uni32 = skip_flags[0].astype(jnp.int32).reshape(nbk * nbk, nbk)
+      namb32 = skip_flags[1].astype(jnp.float32).reshape(1, 1)
+    else:
+      uni, namb = uniformity_flags(grid3d, n, skip_brick)
+      uni32 = uni.astype(jnp.int32).reshape(nbk * nbk, nbk)
+      namb32 = namb.astype(jnp.float32).reshape(1, 1)
     in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-    inputs.append(uni.astype(jnp.int32).reshape(nbk * nbk, nbk))
+    inputs.append(uni32)
     in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-    inputs.append(namb.astype(jnp.float32).reshape(1, 1))
+    inputs.append(namb32)
 
   def wrapped_kernel(*refs):
     return _march_kernel(
@@ -689,6 +734,8 @@ _ENV_UNROLL = int(__import__("os").environ.get("MARCH_UNROLL", "0"))
 # of the host-precomputed uniformity flags. 32 keeps the SMEM flag array
 # at [256, 16] int32 (16 KB) for 512^3 grids.
 _SKIP_BRICK = 32
+SKIP_BRICK = _SKIP_BRICK  # public: models/path_sampler.py sizes its
+# precomputed-flag 'grid' variables from it.
 _ENV_SKIP = __import__("os").environ.get("MARCH_SKIP", "0") in (
     "uniform", "1")
 
@@ -766,6 +813,13 @@ def _march_pallas_common(spec, data, origins, directions, near, step_size,
     so3_inputs = (annealed_alpha, so3_params)
   if skip_uniform is None:
     skip_uniform = _ENV_SKIP
+  # skip_uniform may be a host-precomputed (uni, namb) pair
+  # (host_skip_flags / the model's 'grid' collection) instead of a bool:
+  # same kernel, zero per-step flag-recompute cost.
+  skip_flags = None
+  if isinstance(skip_uniform, (tuple, list)):
+    skip_flags = tuple(skip_uniform)
+    skip_uniform = True
   if interp_precision is None:
     interp_precision = _INTERP_PRECISION
   # Mosaic kernels only compile for TPU; on CPU (tests, forced-CPU CLI
@@ -810,7 +864,7 @@ def _march_pallas_common(spec, data, origins, directions, near, step_size,
         so3_inputs, block_size, window, refetch_every, max_deg, unroll,
         interpret, normalize_dirs=normalize_dirs,
         interp_precision=interp_precision, emit=emit, jitter=jitter,
-        skip_uniform=skip_uniform)
+        skip_uniform=skip_uniform, skip_flags=skip_flags)
 
   parts = []
   raws = []
@@ -823,7 +877,8 @@ def _march_pallas_common(spec, data, origins, directions, near, step_size,
         step_size, num_samples, so3_inputs, block_size, window,
         refetch_every, max_deg, unroll, interpret,
         normalize_dirs=normalize_dirs, interp_precision=interp_precision,
-        emit=emit, jitter=jitter, skip_uniform=skip_uniform)
+        emit=emit, jitter=jitter, skip_uniform=skip_uniform,
+        skip_flags=skip_flags)
     parts.append((pos, dirs, dist, nvals, g) + (sub if sub else ()))
     raws.append(raw)
     oow_total = oow_total + oow

@@ -136,6 +136,41 @@ def test_allstage_march_vjp_zero_cotangent_paths():
         g_ref, g_new)
 
 
+def test_allstage_march_vjp_skip_flags_plumbing():
+  """Precomputed skip flags thread through the custom_vjp under grad.
+
+  The flags are explicit custom_vjp arguments with zero cotangents
+  (models/path_sampler.py passes them from the 'grid' collection), so a
+  grad through a march called WITH flags must equal one called without.
+  """
+  spec, data3d, o, d, so3, cfg = _setup(nrays=16, block=16)
+  march = eikonal_vjp.make_march_allstage(
+      spec, cfg["near"], cfg["step_size"], cfg["num_samples"],
+      cfg["block_size"], cfg["window"], cfg["refetch_every"],
+      SO3_KEY, "pallas", fwd_skip=True)
+  alpha = jnp.float32(0.4)
+  n = spec.ndim[0]
+  from samplenerfro_tpu.ops.pallas import march_kernel
+  flags = march_kernel.host_skip_flags(np.array(data3d).reshape(-1, 4), n)
+  if flags is None:  # grid too small for the brick size: dummy layout
+    flags = (np.zeros((4, 2), np.float32), np.ones((1, 1), np.float32))
+  flags = (jnp.asarray(flags[0]), jnp.asarray(flags[1]))
+
+  def loss_plain(th):
+    return jnp.sum(march(data3d, o, d, alpha, th)[0] ** 2)
+
+  def loss_flags(th):
+    return jnp.sum(march(data3d, o, d, alpha, th, skip_flags=flags)[0] ** 2)
+
+  v0, g0 = jax.value_and_grad(loss_plain)(so3)
+  v1, g1 = jax.value_and_grad(loss_flags)(so3)
+  np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+  jax.tree_util.tree_map(
+      lambda a, b: np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                              atol=1e-6),
+      g0, g1)
+
+
 def test_allstage_march_vjp_bf16_mode():
   """bfloat16 reverse-sweep passes: same structure, looser tolerance.
 

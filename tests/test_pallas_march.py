@@ -487,6 +487,82 @@ def test_pallas_march_skip_still_counts_violations():
   assert int(skip[5]) == int(base[5])
 
 
+def test_host_skip_flags_matches_in_jit():
+  """Host (numpy) flag precompute == the in-jit derivation, kernel layout."""
+  spec, data = _compact_bump_setup()
+  n = 64
+  flags = march_kernel.host_skip_flags(np.array(data), n)
+  assert flags is not None
+  uni_h, namb_h = flags
+  assert uni_h.shape == (4, 2) and uni_h.dtype == np.float32
+  uni_j, namb_j = march_kernel.uniformity_flags(
+      data.reshape(n, n, n * 4), n, march_kernel.SKIP_BRICK)
+  np.testing.assert_array_equal(
+      uni_h, np.array(uni_j, np.float32).reshape(4, 2))
+  assert float(namb_h[0, 0]) == float(namb_j)
+  # Unsupported shapes decline (not divisible / fewer than 2 bricks).
+  assert march_kernel.host_skip_flags(
+      np.ones((48**3, 4), np.float32), 48) is None
+  assert march_kernel.host_skip_flags(
+      np.ones((32**3, 4), np.float32), 32) is None
+
+
+def test_construct_nerf_installs_skip_flags():
+  """march_skip=uniform models carry host-precomputed flags in 'grid'.
+
+  construct_nerf (models/nerf.py) must fill the PathSampler's skip_uni /
+  skip_namb variables with march_kernel.host_skip_flags of the installed
+  grid — recomputing them inside the jitted step costs a full grid pass
+  per call (the round-4 scene_skip bench regression).
+  """
+  from jax import random as jrandom
+  from samplenerfro_tpu.models import construct_nerf
+  from tests import helpers
+
+  n = 64
+  spec, data = _compact_bump_setup(n)
+  rays = helpers.make_rays(8)
+  args = helpers.tiny_args(march_mode="pallas", march_skip="uniform",
+                           tile_size=4, march_window=16, march_refetch=8,
+                           num_coarse_samples=4, num_path_samples=2)
+  values = np.array(data[:, :1])  # construct_nerf derives the gradient
+  _, variables = construct_nerf(
+      jrandom.PRNGKey(0), {"rays": rays}, args, [n] * 3, [-1.5] * 3,
+      [1.5] * 3, values)
+  gcol = variables["grid"]["path_sampler"]
+  assert "skip_uni" in gcol and "skip_namb" in gcol
+  installed = np.array(gcol["data"])  # [N^3, 4] values + derived grad
+  want_uni, want_namb = march_kernel.host_skip_flags(installed, n)
+  np.testing.assert_array_equal(np.array(gcol["skip_uni"]), want_uni)
+  np.testing.assert_array_equal(np.array(gcol["skip_namb"]), want_namb)
+  assert np.array(gcol["skip_uni"]).sum() == 7.0  # 7 of 8 octants uniform
+
+  # march_skip=off creates no flag variables.
+  args_off = helpers.tiny_args(march_mode="pallas", tile_size=4,
+                               num_coarse_samples=4, num_path_samples=2)
+  _, v_off = construct_nerf(
+      jrandom.PRNGKey(0), {"rays": rays}, args_off, [n] * 3, [-1.5] * 3,
+      [1.5] * 3, values)
+  assert "skip_uni" not in v_off["grid"]["path_sampler"]
+
+
+def test_pallas_march_skip_precomputed_flags_bitexact():
+  """skip_uniform=(uni, namb) precomputed == skip_uniform=True, bit-for-bit."""
+  spec, data = _compact_bump_setup()
+  o, d = _skip_rays()
+  S, near = 32, 2.0
+  h = 4.0 / (S - 1)
+  kwargs = dict(block_size=16, window=16, refetch_every=8, interpret=True)
+  injit = march_kernel.march_tiled_pallas(spec, data, o, d, near, h, S,
+                                          skip_uniform=True, **kwargs)
+  flags = march_kernel.host_skip_flags(np.array(data), 64)
+  pre = march_kernel.march_tiled_pallas(
+      spec, data, o, d, near, h, S,
+      skip_uniform=(jnp.asarray(flags[0]), jnp.asarray(flags[1])), **kwargs)
+  for name, a, b in zip(("pos", "dir", "dist", "n", "g", "oow"), injit, pre):
+    np.testing.assert_array_equal(np.array(a), np.array(b), err_msg=name)
+
+
 def test_skip_guard_wide_window():
   """Windows whose y extent can span 3 bricks silently disable the skip.
 
