@@ -97,13 +97,19 @@ def _pe_bwd(dx, caches):
   return pbar, dal
 
 
-def _mlp_fwd_t(x, wts, bstack, precision=jax.lax.Precision.HIGHEST):
+def _mlp_fwd_t(x, wts, bstack, precision=jax.lax.Precision.DEFAULT):
   """Transposed skip-MLP forward; returns (raw [3, R], activations).
 
-  precision: MXU precision of the recompute matmuls. The exact (fp32)
-  backward passes HIGHEST; the production bf16 backward passes the same
-  single-pass precision its XLA formulations use for the so3 vjp
-  (bwd_dtype=bfloat16 casts the params tree), roughly doubling MXU rate.
+  precision: MXU precision of the recompute matmuls. DEFAULT (single-pass
+  bf16 multiplies, fp32 accumulate) is the parity choice: the XLA so3
+  apply the reference gradients differentiate (ops/mlp.py:mlp_apply,
+  precision=None) rounds exactly this way, and the transposed layout is
+  bit-identical to XLA's forward layout at DEFAULT (measured on v5e:
+  0 ReLU flips over 6.3M preacts). Recomputing at HIGHEST instead
+  *diverges* from the production rounding by ~bf16 ulp (5e-3 on O(1)
+  preacts), flipping thousands of ReLU masks — each flip makes a
+  discrete |dh|-sized jump in the bias/kernel cotangents (the round-3
+  grad_pallas_so3 envelope failures, BENCH_r03.json).
   """
   w0t, w1t, w2t, w3t, woutt = wts
 
@@ -160,7 +166,7 @@ def _rodrigues_bwd(raw, g, ub):
 
 
 def _bwd_kernel(*refs, n, w, yext, block_size, nb, refetch, step_size,
-                nmin, ndelta, max_deg, interp_precision):
+                nmin, ndelta, max_deg, interp_precision, so3_precision):
   (traj_ref, cts_ref, grid_hbm,
    w0t, w1t, w2t, w3t, woutt, w0, w1, w2, w3, wout, bstack_ref, alpha_ref,
    raybar_ref, dw0t_o, dw1t_o, dw2t_o, dw3t_o, dwoutt_o, dbias_o, dalpha_o,
@@ -261,25 +267,25 @@ def _bwd_kernel(*refs, n, w, yext, block_size, nb, refetch, step_size,
         (jnp.sqrt(jnp.sum(g_b[b]**2, axis=0, keepdims=True)) > 1e-3)
         .astype(jnp.float32) for b in range(nb)]
 
-    # The dh chains run at the same precision as the recompute/outer
-    # products: HIGHEST in the exact (fp32) backward, single-pass bf16 in
-    # the production bf16 backward (matching the XLA formulations, which
-    # cast the whole so3 params tree to the backward dtype).
+    # The whole so3 chain (recompute, dh chains, outer products) runs at
+    # so3_precision — DEFAULT to match the rounding of the XLA vjp of the
+    # precision=None so3 apply that the reference gradients use (see
+    # _mlp_fwd_t docstring); interp adjoints keep interp_precision.
     def matm(wmat, hh):  # [in, out] @ [out, M] -> [in, M]
       return jax.lax.dot_general(wmat, hh, (((1,), (0,)), ((), ())),
-                                 precision=interp_precision,
+                                 precision=so3_precision,
                                  preferred_element_type=jnp.float32)
 
     def outer(dh, act):  # [out, M] x [in, M] -> [out, in], contract lanes
       return jax.lax.dot_general(dh, act, (((1,), (1,)), ((), ())),
-                                 precision=interp_precision,
+                                 precision=so3_precision,
                                  preferred_element_type=jnp.float32)
 
     p_so3_b, g_so3_b = [], []
     for b in range(nb):
       x_c, pe_caches = _pe_rows(p_b[b], alpha, max_deg)
       raw, acts = _mlp_fwd_t(x_c, wts_t, bstack,
-                             precision=interp_precision)
+                             precision=so3_precision)
       rawbar, g_so3 = _rodrigues_bwd(raw, g_b[b], ubar_b[b] * mask_b[b])
       _, h1, h2, h3, hc, h4 = acts
 
@@ -388,11 +394,11 @@ def _bwd_kernel(*refs, n, w, yext, block_size, nb, refetch, step_size,
     jax.jit,
     static_argnames=("spec", "num_samples", "near", "step_size",
                      "block_size", "window", "refetch_every", "max_deg",
-                     "interpret", "interp_precision"))
+                     "interpret", "interp_precision", "so3_precision"))
 def _march_bwd_impl(spec, data, traj, cts, so3_mats, bstack, alpha, near,
                     step_size, num_samples, block_size, window,
                     refetch_every, max_deg, interpret,
-                    interp_precision="highest"):
+                    interp_precision="highest", so3_precision="default"):
   """traj/cts: [nb, S, 11, R] march layout. Returns raw kernel outputs."""
   n = spec.ndim[0]
   w = window
@@ -453,7 +459,8 @@ def _march_bwd_impl(spec, data, traj, cts, so3_mats, bstack, alpha, near,
       _bwd_kernel, n=n, w=w, yext=yext, block_size=block_size, nb=nb,
       refetch=refetch_every, step_size=step_size, nmin=spec.nmin,
       ndelta=spec.ndelta, max_deg=max_deg,
-      interp_precision=mk._precision(interp_precision))
+      interp_precision=mk._precision(interp_precision),
+      so3_precision=mk._precision(so3_precision))
 
   return pl.pallas_call(
       kernel,
@@ -495,7 +502,8 @@ def supports(spec, num_samples, batch, block_size, window, refetch_every):
 def march_bwd_pallas(spec, data, pos, dirs_raw, nvals, g, dpos, ddirs_raw,
                      dn, dg, segbar, so3_params, alpha, near, step_size,
                      block_size, window, refetch_every, max_deg,
-                     interpret=False, interp_precision=None, traj_raw=None):
+                     interpret=False, interp_precision=None, traj_raw=None,
+                     so3_precision=None):
   """Fused reverse sweep. Per-ray-layout inputs [batch, S, ...].
 
   traj_raw: optional [nb, S, 11, R] march-layout trajectory straight from
@@ -510,6 +518,12 @@ def march_bwd_pallas(spec, data, pos, dirs_raw, nvals, g, dpos, ddirs_raw,
   """
   if interp_precision is None:
     interp_precision = "highest"
+  if so3_precision is None:
+    # "default" is the PARITY choice, not a speed shortcut: the XLA so3
+    # apply differentiated by the reference gradients rounds at DEFAULT
+    # (ops/mlp.py precision=None), and matching it bit-for-bit keeps the
+    # ReLU masks identical (see _mlp_fwd_t). It is also ~2x MXU rate.
+    so3_precision = os.environ.get("MARCH_BWD_SO3_PRECISION", "default")
   if not interpret and jax.default_backend() != "tpu":
     interpret = True
   batch, num_samples = pos.shape[:2]
@@ -561,7 +575,7 @@ def march_bwd_pallas(spec, data, pos, dirs_raw, nvals, g, dpos, ddirs_raw,
    dalpha_rows) = _march_bwd_impl(
        spec, data, traj, cts, so3_mats, bstack, alpha, near, step_size,
        num_samples, block_size, window, refetch_every, max_deg, interpret,
-       interp_precision=interp_precision)
+       interp_precision=interp_precision, so3_precision=so3_precision)
 
   pbar = jnp.transpose(raybar[0].reshape(nb, 3, block_size),
                        (0, 2, 1)).reshape(batch, 3)

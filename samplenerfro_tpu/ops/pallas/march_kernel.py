@@ -186,7 +186,7 @@ def _cross_rows(a, b):
 
 
 def _so3_refine_t(rp, g, alpha, so3_refs, max_deg,
-                  precision=jax.lax.Precision.HIGHEST):
+                  precision=jax.lax.Precision.DEFAULT):
   """so3 refinement on transposed [3, R] tensors.
 
   so3_refs holds PRE-TRANSPOSED kernels (WkT: [out, in]) and a [width, 5]
@@ -194,9 +194,12 @@ def _so3_refine_t(rp, g, alpha, so3_refs, max_deg,
   layer is WkT @ h with activations [width, R] and biases [width, 1].
   Parity: models/path_sampler.py wrapper_grad_mlp + ops/eikonal.py
   rodrigues_rotate. precision: MXU precision of the MLP matmuls
-  ($MARCH_SO3_PRECISION, default highest == fp32-exact parity with the
-  XLA so3 head; "default" halves their cost on the all-stage path at
-  bf16 input rounding — quality-gate before shipping).
+  ($MARCH_SO3_PRECISION). "default" IS the parity setting: the XLA so3
+  head it mirrors (ops/mlp.py:mlp_apply, precision=None) rounds at
+  DEFAULT, and the transposed layout is bit-identical to XLA's at that
+  precision (measured on v5e: 0/6.3M preact mismatches); "highest" is
+  kept as an A/B anchor but actually rounds DIFFERENTLY from the XLA
+  reference (bf16-ulp-level), flipping ReLU masks.
   """
   w0t, w1t, w2t, w3t, woutt, b = so3_refs
 
@@ -639,7 +642,7 @@ def _march_pallas_impl(spec, data, origins, directions, near, step_size,
         max_deg=max_deg, unroll=unroll,
         interp_precision=_precision(interp_precision),
         so3_precision=_precision(
-            __import__("os").environ.get("MARCH_SO3_PRECISION", "highest")),
+            __import__("os").environ.get("MARCH_SO3_PRECISION", "default")),
         emit_rows=emit_rows, num_path=num_path, skip_brick=skip_brick)
 
   out_specs = [
