@@ -591,6 +591,13 @@ def _make_march_allstage(spec, near, step_size, num_samples, block_size,
             refetch_every, max_deg,
             interp_precision=("highest" if exact_bwd else "default"),
             traj_raw=raw))
+    # The kernel wrapper returns a plain dict; the custom_vjp contract
+    # requires the PRIMAL's container (a flax FrozenDict when called from
+    # the model). Both containers order Dense_0..Dense_out identically,
+    # so re-hanging the leaves on the primal's treedef is exact.
+    thetabar = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(so3_params),
+        jax.tree_util.tree_leaves(thetabar))
     return (jnp.zeros_like(data3d), origins_bar, directions_bar, alphabar,
             thetabar, jax.tree_util.tree_map(jnp.zeros_like, skip_flags))
 

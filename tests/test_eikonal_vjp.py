@@ -291,6 +291,40 @@ def test_allstage_march_vjp_pallas_kernel(nblocks):
           err_msg=f"{name}{jax.tree_util.keystr(path)}")
 
 
+def test_allstage_march_vjp_pallas_frozen_dict():
+  """The pallas bwd must return the PRIMAL's so3 container (FrozenDict).
+
+  The model passes flax FrozenDict params; the fused reverse sweep's
+  wrapper builds a plain dict, and jax's custom_vjp rejects the container
+  mismatch (round-4 regression caught only on-device: the CPU tests all
+  passed plain dicts).
+  """
+  import flax
+  spec, data3d, _, _, so3, cfg = _setup(
+      n=64, nrays=32, block=16, S=16, refetch=4, window=16)
+  cfg["block_size"] = 128
+  cfg["step_size"] = 4.0 / 31
+  d = np.array([[0.0008 * (i % 16), 0.0005 * (i // 16), 1.0]
+                for i in range(128)], np.float32)
+  d /= np.linalg.norm(d, axis=-1, keepdims=True)
+  o = np.broadcast_to(np.array([0, 0, -4.0], np.float32), d.shape).copy()
+  o, d = jnp.asarray(o), jnp.asarray(d)
+
+  march = eikonal_vjp.make_march_allstage(
+      spec, cfg["near"], cfg["step_size"], cfg["num_samples"],
+      cfg["block_size"], cfg["window"], cfg["refetch_every"],
+      SO3_KEY, "tiled", bwd_impl="pallas")
+  frozen = flax.core.freeze(so3)
+
+  def loss(th_):
+    return jnp.sum(march(data3d, o, d, jnp.float32(0.6), th_)[0])
+
+  g = jax.grad(loss)(frozen)
+  assert isinstance(g, flax.core.FrozenDict)
+  assert all(np.isfinite(np.asarray(leaf)).all()
+             for leaf in jax.tree_util.tree_leaves(g))
+
+
 def test_bwd_pallas_traj_raw_matches_pack():
   """Feeding the forward kernel's raw trajectory == re-packing per-ray arrays.
 
