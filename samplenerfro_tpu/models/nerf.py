@@ -276,7 +276,7 @@ class NerfModel(nn.Module):
 
   def _use_fused_mlp(self, samples_enc, viewdirs_enc):
     """Whether _decode should take the fused Pallas MLP path."""
-    return (self.mlp_kernel == "pallas"
+    return (self.mlp_kernel in ("pallas", "pallas_pe")
             and not self.is_initializing()
             and self.use_viewdirs
             and self.sh_deg < 0
@@ -287,6 +287,23 @@ class NerfModel(nn.Module):
                 self.net_depth, self.net_width, self.skip_layer,
                 self.net_depth_condition, self.net_width_condition,
                 self.num_rgb_channels, self.num_sigma_channels))
+
+  def _fused_pe(self):
+    """(pts_deg, dirs_deg) for in-kernel featurization, or None.
+
+    mlp_kernel="pallas_pe" computes the classic pos_enc INSIDE the fused
+    MLP kernel from raw [N, 3] positions/viewdirs (no [N, feat] HBM
+    round-trip); only valid when both encoders are the plain non-legacy
+    pos_enc (reference rnerf/model_utils.py:187-214) — IPE, SH dir
+    encoding, and the legacy interleaved order fall back to the
+    feature-fed kernel.
+    """
+    if (self.mlp_kernel == "pallas_pe" and not self.use_ipe
+        and not self.legacy_posenc_order and self.min_deg_point == 0
+        and self.sh_direnc_deg <= 0 and self.deg_view > 0
+        and self.max_deg_point > 0):
+      return (self.max_deg_point, self.deg_view)
+    return None
 
   def _featurize(self, pos, dirs, dists, radii):
     """Point features: classic PE or (use_ipe) mip cone-Gaussian IPE."""
@@ -299,8 +316,14 @@ class NerfModel(nn.Module):
                                         self.max_deg_point)
     return self._encode_points(pos)
 
-  def _decode(self, mlp, samples_enc, viewdirs_enc, dirs, key, randomized):
-    """MLP eval + noise + SH decode + activations -> (rgb, sigma)."""
+  def _decode(self, mlp, samples_enc, viewdirs_enc, dirs, key, randomized,
+              raw_pts=None):
+    """MLP eval + noise + SH decode + activations -> (rgb, sigma).
+
+    raw_pts: raw [nb, ns, 3] sample positions — enables the
+    featurize-in-kernel fused path (mlp_kernel="pallas_pe"); `dirs`
+    doubles as the raw per-sample viewdirs there.
+    """
     if self._use_fused_mlp(samples_enc, viewdirs_enc):
       # Fused Pallas MLP: weights resident in VMEM, activations tiled —
       # no inter-layer HBM traffic (ops/pallas/mlp_kernel.py). Gradients
@@ -308,15 +331,21 @@ class NerfModel(nn.Module):
       # features come from the frozen path sampler ('all' falls back).
       p = mlp.variables["params"]
       nb, ns, fdim = samples_enc.shape
+      pe = self._fused_pe() if raw_pts is not None else None
+      if pe is not None:
+        x_in = raw_pts.reshape(-1, 3)
+        c_in = dirs.reshape(-1, 3)
+      else:
+        x_in = samples_enc.reshape(-1, fdim)
+        c_in = viewdirs_enc.reshape(-1, viewdirs_enc.shape[-1])
       rgb, sigma = pallas_mlp.fused_nerf_mlp(
-          p, samples_enc.reshape(-1, fdim),
-          viewdirs_enc.reshape(-1, viewdirs_enc.shape[-1]),
+          p, x_in, c_in,
           net_depth=self.net_depth, net_width=self.net_width,
           skip_layer=self.skip_layer,
           cond_width=self.net_width_condition,
           num_rgb=self.num_rgb_channels,
           num_sigma=self.num_sigma_channels,
-          dtype=self.mlp_dtype)
+          dtype=self.mlp_dtype, pe=pe)
       raw_rgb = rgb.reshape(nb, ns, -1)
       raw_sigma = sigma.reshape(nb, ns, -1)
     elif self.use_viewdirs:
@@ -391,7 +420,8 @@ class NerfModel(nn.Module):
 
     key, rng_0 = random.split(rng_0)
     rgb, sigma = self._decode(self.coarse_mlp, samples_enc, viewdirs_enc,
-                              ray_dir_c, key, randomized)
+                              ray_dir_c, key, randomized,
+                              raw_pts=ray_pos_c)
 
     comp_rgb, disp, acc, weights, alpha, trans, trans_rgb_bkgd = (
         render_ops.volumetric_rendering(
@@ -422,7 +452,8 @@ class NerfModel(nn.Module):
 
       key, rng_1 = random.split(rng_1)
       rgb, sigma = self._decode(self.fine_mlp, samples_enc, viewdirs_enc,
-                                ray_dir_c, key, randomized)
+                                ray_dir_c, key, randomized,
+                                raw_pts=ray_pos_c)
 
       comp_rgb, disp, acc, _, alpha, trans, trans_rgb_bkgd = (
           render_ops.volumetric_rendering(

@@ -54,12 +54,23 @@ def _rup(x, m):
 
 
 class _Spec:
-  """Static geometry of the fused MLP (hashable kernel-config key)."""
+  """Static geometry of the fused MLP (hashable kernel-config key).
+
+  pe: None for precomputed [N, feature_dim]/[N, cond_dim] inputs, or
+  (pts_deg, dirs_deg) to featurize IN-KERNEL from packed [N, 8] raw rows
+  (cols 0:3 = position, 3:6 = viewdir): the classic non-legacy pos_enc
+  (ops/math.py:pos_enc, reference rnerf/model_utils.py:187-214) computed
+  per tile on the VPU, eliminating the [N, 63]/[N, 27] feature
+  materialization in HBM plus the 128-lane-padded reads it costs the
+  kernel (the dominant reason the feature-fed fused MLP lost to XLA —
+  STATUS.md round-2 negative result).
+  """
 
   def __init__(self, feature_dim, cond_dim, net_depth, net_width,
-               skip_layer, cond_width, num_rgb, num_sigma):
+               skip_layer, cond_width, num_rgb, num_sigma, pe=None):
     self.feature_dim = feature_dim
     self.cond_dim = cond_dim
+    self.pe = pe
     self.depth = net_depth
     self.width = net_width
     self.skip = skip_layer
@@ -84,12 +95,17 @@ class _Spec:
 
   def key(self):
     return (self.feature_dim, self.cond_dim, self.depth, self.width,
-            self.skip, self.cond_width, self.num_rgb, self.num_sigma)
+            self.skip, self.cond_width, self.num_rgb, self.num_sigma,
+            self.pe)
 
 
 def supports(feature_dim, cond_dim, net_depth, net_width, skip_layer,
-             net_depth_condition, cond_width, num_rgb, num_sigma):
+             net_depth_condition, cond_width, num_rgb, num_sigma,
+             pe=None):
   """Whether the fused kernel implements this NerfMLP configuration."""
+  if pe is not None and (feature_dim != 3 + 6 * pe[0]
+                         or cond_dim != 3 + 6 * pe[1]):
+    return False
   return (net_depth_condition == 1
           and net_width % 128 == 0 and cond_width % 128 == 0
           and num_rgb <= 8 - num_sigma and num_sigma >= 1
@@ -132,6 +148,31 @@ def _pack_params(params, spec, dtype):
       params[f"Dense_{d+3}"]["bias"].astype(jnp.float32)[None, :],
       cols=128)
   return ws + [wsb, wc, wrgb] + bs + [bsb, bc, brgb]
+
+
+def _pe_cols(p, deg):
+  """Non-legacy pos_enc on a [M, 3] tile: [p, sin(xb), cos(xb)].
+
+  Bit-parity with ops/math.py:pos_enc(p, 0, deg) (deg-major, xyz-minor
+  frequency layout; cos computed as sin(x + pi/2) exactly as XLA does —
+  Mosaic sin measured bit-identical to XLA's on v5e).
+  """
+  xb = jnp.concatenate([p * float(2 ** k) for k in range(deg)], axis=1)
+  return jnp.concatenate([p, jnp.sin(xb), jnp.sin(xb + 0.5 * jnp.pi)],
+                         axis=1)
+
+
+def _featurize_tile(raw, spec, dtype):
+  """Packed [M, 8] raw rows -> (x0 [M, fp], cond [M, cp]) in dtype."""
+  m = raw.shape[0]
+  pts_deg, dirs_deg = spec.pe
+  x0 = _pe_cols(raw[:, 0:3], pts_deg)
+  cond = _pe_cols(raw[:, 3:6], dirs_deg)
+  x0 = jnp.concatenate(
+      [x0, jnp.zeros((m, spec.fp - x0.shape[1]), jnp.float32)], axis=1)
+  cond = jnp.concatenate(
+      [cond, jnp.zeros((m, spec.cp - cond.shape[1]), jnp.float32)], axis=1)
+  return x0.astype(dtype), cond.astype(dtype)
 
 
 def _dot(a, b):
@@ -177,16 +218,21 @@ def _forward_tile(spec, dtype, x0, cond, ws, bs, wsb, bsb, wc, bc, wrgb,
 
 def _fwd_kernel(spec, dtype, *refs):
   d = spec.depth
-  x0_ref, cond_ref = refs[0], refs[1]
-  ws = [refs[2 + i][...] for i in range(d)]
-  wsb, wc, wrgb = refs[2 + d][...], refs[3 + d][...], refs[4 + d][...]
-  bs = [refs[5 + d + i][...] for i in range(d)]
-  bsb, bc, brgb = refs[5 + 2 * d][...], refs[6 + 2 * d][...], \
-      refs[7 + 2 * d][...]
-  out_ref = refs[8 + 2 * d]
+  if spec.pe is not None:
+    x0, cond = _featurize_tile(refs[0][...], spec, dtype)
+    o = 1
+  else:
+    x0 = refs[0][...].astype(dtype)
+    cond = refs[1][...].astype(dtype)
+    o = 2
+  ws = [refs[o + i][...] for i in range(d)]
+  wsb, wc, wrgb = refs[o + d][...], refs[o + 1 + d][...], \
+      refs[o + 2 + d][...]
+  bs = [refs[o + 3 + d + i][...] for i in range(d)]
+  bsb, bc, brgb = refs[o + 3 + 2 * d][...], refs[o + 4 + 2 * d][...], \
+      refs[o + 5 + 2 * d][...]
+  out_ref = refs[o + 6 + 2 * d]
 
-  x0 = x0_ref[...].astype(dtype)
-  cond = cond_ref[...].astype(dtype)
   _, _, heads, _, _, rgbfull = _forward_tile(
       spec, dtype, x0, cond, ws, bs, wsb, bsb, wc, bc, wrgb, brgb)
   m = x0.shape[0]
@@ -200,18 +246,25 @@ def _fwd_kernel(spec, dtype, *refs):
 def _bwd_kernel(spec, dtype, *refs):
   d = spec.depth
   k = pl.program_id(0)
-  x0_ref, cond_ref, dout_ref = refs[0], refs[1], refs[2]
-  ws = [refs[3 + i][...] for i in range(d)]
-  wsb, wc, wrgb = refs[3 + d][...], refs[4 + d][...], refs[5 + d][...]
-  bs = [refs[6 + d + i][...] for i in range(d)]
-  bsb, bc, brgb = refs[6 + 2 * d][...], refs[7 + 2 * d][...], \
-      refs[8 + 2 * d][...]
-  outs = refs[9 + 2 * d:]
+  if spec.pe is not None:
+    x0, cond = _featurize_tile(refs[0][...], spec, dtype)
+    dout_ref = refs[1]
+    o = 2
+  else:
+    x0 = refs[0][...].astype(dtype)
+    cond = refs[1][...].astype(dtype)
+    dout_ref = refs[2]
+    o = 3
+  ws = [refs[o + i][...] for i in range(d)]
+  wsb, wc, wrgb = refs[o + d][...], refs[o + 1 + d][...], \
+      refs[o + 2 + d][...]
+  bs = [refs[o + 3 + d + i][...] for i in range(d)]
+  bsb, bc, brgb = refs[o + 3 + 2 * d][...], refs[o + 4 + 2 * d][...], \
+      refs[o + 5 + 2 * d][...]
+  outs = refs[o + 6 + 2 * d:]
   dw_refs = outs[:d + 3]
   db_refs = outs[d + 3:]
 
-  x0 = x0_ref[...].astype(dtype)
-  cond = cond_ref[...].astype(dtype)
   dout = dout_ref[...]
   acts, augs, heads, xcat, a_c, _ = _forward_tile(
       spec, dtype, x0, cond, ws, bs, wsb, bsb, wc, bc, wrgb, brgb)
@@ -290,12 +343,19 @@ def _fwd_impl(spec_key, dtype_name, block_m, interpret, x0p, condp,
   dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
   n = x0p.shape[0]
   grid = n // block_m
-  in_specs = [
-      pl.BlockSpec((block_m, spec.fp), lambda i: (i, 0),
-                   memory_space=pltpu.VMEM),
-      pl.BlockSpec((block_m, spec.cp), lambda i: (i, 0),
-                   memory_space=pltpu.VMEM),
-  ] + _weight_specs(len(packed))
+  if spec.pe is not None:
+    data_specs = [pl.BlockSpec((block_m, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+    data = [x0p]  # packed raw rows; condp is a dummy scalar
+  else:
+    data_specs = [
+        pl.BlockSpec((block_m, spec.fp), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_m, spec.cp), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    data = [x0p, condp]
+  in_specs = data_specs + _weight_specs(len(packed))
   out = pl.pallas_call(
       functools.partial(_fwd_kernel, spec, dtype),
       interpret=interpret,
@@ -304,7 +364,7 @@ def _fwd_impl(spec_key, dtype_name, block_m, interpret, x0p, condp,
       out_specs=pl.BlockSpec((block_m, 8), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((n, 8), jnp.float32),
-  )(x0p, condp, *packed)
+  )(*data, *packed)
   return out
 
 
@@ -317,11 +377,19 @@ def _bwd_impl(spec_key, dtype_name, block_m, interpret, x0p, condp, dout,
   d = spec.depth
   n = x0p.shape[0]
   grid = n // block_m
-  in_specs = [
-      pl.BlockSpec((block_m, spec.fp), lambda i: (i, 0),
-                   memory_space=pltpu.VMEM),
-      pl.BlockSpec((block_m, spec.cp), lambda i: (i, 0),
-                   memory_space=pltpu.VMEM),
+  if spec.pe is not None:
+    data_specs = [pl.BlockSpec((block_m, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+    data = [x0p, dout]
+  else:
+    data_specs = [
+        pl.BlockSpec((block_m, spec.fp), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_m, spec.cp), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    data = [x0p, condp, dout]
+  in_specs = data_specs + [
       pl.BlockSpec((block_m, 8), lambda i: (i, 0),
                    memory_space=pltpu.VMEM),
   ] + _weight_specs(len(packed))
@@ -346,13 +414,19 @@ def _bwd_impl(spec_key, dtype_name, block_m, interpret, x0p, condp, dout,
       in_specs=in_specs,
       out_specs=out_specs,
       out_shape=out_shapes,
-  )(x0p, condp, dout, *packed)
+  )(*data, *packed)
   return outs
 
 
 def _prep_inputs(spec, x, cond, block_m):
   n = x.shape[0]
   npad = _rup(n, block_m)
+  if spec.pe is not None:
+    # Featurize-in-kernel: ship packed [N, 8] raw rows (12 B of payload
+    # per point instead of fp*4 = 512 B of padded features).
+    raw = jnp.zeros((npad, 8), jnp.float32)
+    raw = raw.at[:n, 0:3].set(x).at[:n, 3:6].set(cond)
+    return raw, None, n, npad
   x0p = jnp.zeros((npad, spec.fp), x.dtype).at[:n, :x.shape[1]].set(x)
   condp = jnp.zeros((npad, spec.cp),
                     cond.dtype).at[:n, :cond.shape[1]].set(cond)
@@ -434,13 +508,22 @@ def _make_fused(spec_key, dtype_name, block_m, interpret):
 
 def fused_nerf_mlp(params, x, cond, *, net_depth=8, net_width=256,
                    skip_layer=4, cond_width=128, num_rgb=3, num_sigma=1,
-                   dtype="bfloat16", block_m=512, interpret=False):
+                   dtype="bfloat16", block_m=512, interpret=False,
+                   pe=None):
   """Fused NerfMLP apply: (params, [N, F], [N, C]) -> (rgb [N,3], sigma).
 
   params is the flax NerfMLP param subtree (Dense_0..Dense_{depth+3}).
   Differentiable in params only (see module docstring).
+
+  pe: None for precomputed features, or (pts_deg, dirs_deg) to pass RAW
+  x=[N, 3] positions / cond=[N, 3] viewdirs and compute the non-legacy
+  pos_enc featurization inside the kernel (no [N, feat] HBM round-trip).
   """
-  spec_key = (x.shape[-1], cond.shape[-1], net_depth, net_width,
-              skip_layer, cond_width, num_rgb, num_sigma)
+  if pe is not None:
+    fdim, cdim = 3 + 6 * pe[0], 3 + 6 * pe[1]
+  else:
+    fdim, cdim = x.shape[-1], cond.shape[-1]
+  spec_key = (fdim, cdim, net_depth, net_width,
+              skip_layer, cond_width, num_rgb, num_sigma, pe)
   fn = _make_fused(spec_key, dtype, block_m, interpret)
   return fn(params, x, cond)

@@ -267,11 +267,15 @@ def define_flags():
                     "radiance-MLP compute dtype (params stay fp32); "
                     "bfloat16 is an opt-in fast path, quality-gate it on "
                     "your scene (scripts/validate_quality.py).")
-  flags.DEFINE_enum("mlp_kernel", "xla", ["xla", "pallas"],
-                    "radiance-MLP execution: XLA Dense stack, or the "
-                    "fused Pallas kernel (weights VMEM-resident, no "
-                    "inter-layer HBM traffic; TPU-only, 'all' stage and "
-                    "SH decoding fall back to xla).")
+  flags.DEFINE_enum("mlp_kernel", "xla", ["xla", "pallas", "pallas_pe"],
+                    "radiance-MLP execution: XLA Dense stack, the fused "
+                    "Pallas kernel (weights VMEM-resident, no inter-layer "
+                    "HBM traffic), or pallas_pe (additionally computes "
+                    "the pos_enc featurization IN-kernel from raw [N,3] "
+                    "points/dirs — no feature HBM round-trip; falls back "
+                    "to feature-fed when IPE/SH/legacy order is on). "
+                    "TPU-only; 'all' stage and SH decoding fall back "
+                    "to xla.")
   flags.DEFINE_bool("mlp_remat", False,
                     "rematerialize radiance-MLP activations in the "
                     "backward pass (recompute instead of ~200 MB/layer "

@@ -106,3 +106,89 @@ def test_supports_gate():
   assert not mlp_kernel.supports(63, 27, 8, 256, 4, 2, 128, 3, 1)
   assert not mlp_kernel.supports(63, 27, 8, 200, 4, 1, 128, 3, 1)
   assert not mlp_kernel.supports(200, 27, 8, 256, 4, 1, 128, 3, 1)
+
+
+def test_fused_pe_forward_matches_feature_fed_fp32():
+  """In-kernel featurization == XLA pos_enc -> feature-fed kernel."""
+  from samplenerfro_tpu.ops import math as math_ops
+  key = random.PRNGKey(5)
+  n, pts_deg, dirs_deg = 70, 10, 4
+  pts = random.uniform(key, (n, 3), minval=-1.5, maxval=1.5)
+  dirs = random.normal(random.PRNGKey(6), (n, 3))
+  dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+  x = math_ops.pos_enc(pts, 0, pts_deg)
+  c = math_ops.pos_enc(dirs, 0, dirs_deg)
+  mlp = mlp_modules.NerfMLP(net_depth=8, net_width=256,
+                            net_depth_condition=1, net_width_condition=128,
+                            skip_layer=4)
+  params = mlp.init(random.PRNGKey(2), x[None], c[None])["params"]
+
+  rgb_ref, sigma_ref = mlp_kernel.fused_nerf_mlp(
+      params, x, c, dtype="float32", block_m=32, interpret=True)
+  rgb, sigma = mlp_kernel.fused_nerf_mlp(
+      params, pts, dirs, dtype="float32", block_m=32, interpret=True,
+      pe=(pts_deg, dirs_deg))
+  np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref),
+                             atol=1e-6, rtol=1e-6)
+  np.testing.assert_allclose(np.asarray(sigma), np.asarray(sigma_ref),
+                             atol=1e-6, rtol=1e-6)
+
+
+def test_fused_pe_grads_match_flax_fp32():
+  """d/dparams through the featurized kernel == flax pos_enc + NerfMLP."""
+  from samplenerfro_tpu.ops import math as math_ops
+  n, pts_deg, dirs_deg = 48, 10, 4
+  pts = random.uniform(random.PRNGKey(7), (n, 3), minval=-1.5, maxval=1.5)
+  dirs = random.normal(random.PRNGKey(8), (n, 3))
+  dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+  x = math_ops.pos_enc(pts, 0, pts_deg)[None]
+  c = math_ops.pos_enc(dirs, 0, dirs_deg)[None]
+  mlp = mlp_modules.NerfMLP(net_depth=8, net_width=256,
+                            net_depth_condition=1, net_width_condition=128,
+                            skip_layer=4)
+  params = mlp.init(random.PRNGKey(2), x, c)["params"]
+  tgt = random.normal(random.PRNGKey(3), (n, 3))
+  tgt_s = random.normal(random.PRNGKey(4), (n, 1))
+
+  def loss_ref(p):
+    rgb, sigma = mlp.apply({"params": p}, x, c)
+    return (jnp.sum((rgb.reshape(-1, 3) - tgt) ** 2)
+            + jnp.sum((sigma.reshape(-1, 1) - tgt_s) ** 2))
+
+  def loss_pe(p):
+    rgb, sigma = mlp_kernel.fused_nerf_mlp(
+        p, pts, dirs, dtype="float32", block_m=16, interpret=True,
+        pe=(pts_deg, dirs_deg))
+    return jnp.sum((rgb - tgt) ** 2) + jnp.sum((sigma - tgt_s) ** 2)
+
+  l_ref, g_ref = jax.value_and_grad(loss_ref)(params)
+  l_pe, g_pe = jax.value_and_grad(loss_pe)(params)
+  np.testing.assert_allclose(float(l_ref), float(l_pe), rtol=1e-5)
+  flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+  flat_pe = dict(jax.tree_util.tree_leaves_with_path(g_pe))
+  for path, val in flat_ref:
+    np.testing.assert_allclose(
+        np.asarray(flat_pe[path]), np.asarray(val), atol=5e-4, rtol=5e-4,
+        err_msg=jax.tree_util.keystr(path))
+
+
+def test_fused_pe_row_padding_and_supports():
+  from samplenerfro_tpu.ops import math as math_ops
+  n, pts_deg, dirs_deg = 70, 10, 4
+  pts = random.uniform(random.PRNGKey(9), (n, 3), minval=-1.5, maxval=1.5)
+  dirs = random.normal(random.PRNGKey(10), (n, 3))
+  x = math_ops.pos_enc(pts, 0, pts_deg)
+  c = math_ops.pos_enc(dirs, 0, dirs_deg)
+  mlp = mlp_modules.NerfMLP(net_depth=8, net_width=256,
+                            net_depth_condition=1, net_width_condition=128,
+                            skip_layer=4)
+  params = mlp.init(random.PRNGKey(2), x[None], c[None])["params"]
+  rgb_ref, _ = mlp_kernel.fused_nerf_mlp(
+      params, x, c, dtype="float32", block_m=64, interpret=True)
+  rgb, _ = mlp_kernel.fused_nerf_mlp(
+      params, pts, dirs, dtype="float32", block_m=64, interpret=True,
+      pe=(pts_deg, dirs_deg))
+  np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref),
+                             atol=1e-6, rtol=1e-6)
+  assert mlp_kernel.supports(63, 27, 8, 256, 4, 1, 128, 3, 1, pe=(10, 4))
+  assert not mlp_kernel.supports(63, 27, 8, 256, 4, 1, 128, 3, 1, pe=(9, 4))
