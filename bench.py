@@ -368,7 +368,7 @@ def production_args(stage="radiance_bench", window=None, **over):
   refetch = int(os.environ.get("BENCH_MARCH_REFETCH", "8"))
   # Lean march emit (7-channel dense trajectory + in-kernel jittered
   # subsample) A/B knob; see ops/pallas/march_kernel.py.
-  march_emit = os.environ.get("BENCH_MARCH_EMIT", "full")
+  march_emit = os.environ.get("BENCH_MARCH_EMIT", "lean")
   # Uniform-window free-space skip (march_kernel.py). Only fires on grids
   # with exactly-uniform bricks — the scene512 companion workload; the
   # headline blob has none (its Gaussian never lands exactly on ambient
@@ -543,7 +543,7 @@ def main():
       "mlp_kernel": args.mlp_kernel,
       "stage": args.stage,
       "grid_n": GRID_N,
-      **({"march_bwd_impl": os.environ.get("EIKVJP_IMPL", "stepvjp"),
+      **({"march_bwd_impl": os.environ.get("EIKVJP_IMPL", "pallas"),
           "march_bwd_pack": os.environ.get("MARCH_BWD_PACK", "mxu"),
           "march_bwd_dtype": args.march_bwd_dtype}
          if stage == "all_bench" else {}),

@@ -88,8 +88,9 @@ class PathSampler(nn.Module):
   march_bwd_dtype: str = "float32"
   # Reverse-sweep implementation for the "all" stage: stepvjp | passes |
   # pallas (ops/eikonal_vjp.py; all parity-tested vs autodiff). "auto"
-  # defers to $EIKVJP_IMPL (default stepvjp, the measured production
-  # choice on v5e).
+  # defers to $EIKVJP_IMPL (default pallas — the fused Mosaic reverse
+  # sweep, measured 1.94x stepvjp on the 512^3 all stage; falls back to
+  # stepvjp at trace time for unsupported configurations).
   march_bwd_impl: str = "auto"
   # "lean" emits only the densely-consumed pos/dir/arclength channels from
   # the fused kernel and subsamples the jittered coarse points IN-KERNEL

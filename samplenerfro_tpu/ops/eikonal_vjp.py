@@ -97,10 +97,14 @@ def make_march_allstage(spec, near, step_size, num_samples, block_size,
                         fwd_interp="highest", fwd_skip=None):
   """Build the custom-vjp all-stage marcher (cached per configuration).
 
-  bwd_impl selects the reverse-sweep implementation: "stepvjp" (the
-  production default — whole adjoint per step inside the reverse scan) or
-  "passes" (batched three-pass formulation; measured SLOWER on v5e, kept
-  as a documented negative result). None reads $EIKVJP_IMPL.
+  bwd_impl selects the reverse-sweep implementation: "pallas" (the
+  production default — one fused Mosaic kernel streaming the trajectory
+  in reverse; measured 29.8k vs 15.4k rays/s on the 512^3 all stage, and
+  it trace-time-falls-back to stepvjp for unsupported configurations),
+  "stepvjp" (whole adjoint per step inside an XLA reverse scan — the
+  fallback and A/B anchor), or "passes" (batched three-pass formulation;
+  measured SLOWER on v5e, kept as a documented negative result). None
+  reads $EIKVJP_IMPL.
 
   fwd_skip enables the fused forward kernel's uniform-window free-space
   skip (march_kernel.py; exact when oow == 0); None defers to $MARCH_SKIP.
@@ -108,7 +112,7 @@ def make_march_allstage(spec, near, step_size, num_samples, block_size,
   its uniform-window adjoints vanish identically (constant n, g == 0).
   """
   if bwd_impl is None:
-    bwd_impl = os.environ.get("EIKVJP_IMPL", "stepvjp")
+    bwd_impl = os.environ.get("EIKVJP_IMPL", "pallas")
   return _make_march_allstage(spec, near, step_size, num_samples,
                               block_size, window, refetch_every, so3_key,
                               fwd_mode, bwd_dtype, bwd_impl, fwd_interp,

@@ -67,10 +67,10 @@ CANDIDATES_PALLAS = ((8, 8), (8, 4), (16, 8), (16, 4), (24, 8), (24, 4),
 
 
 def _resolved_bwd_impl(flag_value):
-  """'auto' -> $EIKVJP_IMPL (default stepvjp), mirroring eikonal_vjp."""
+  """'auto' -> $EIKVJP_IMPL (default pallas), mirroring eikonal_vjp."""
   import os
   if flag_value in (None, "auto"):
-    return os.environ.get("EIKVJP_IMPL", "stepvjp")
+    return os.environ.get("EIKVJP_IMPL", "pallas")
   return flag_value
 
 

@@ -92,7 +92,7 @@ def _assert_close(name, ref, got, scale_atol, deviations, soft=None):
 
 def check_march(grid_n=128, window=16, refetch=8, num_samples=768,
                 block_size=256, nblocks=2, grad_samples=192, fwd_atol=2e-3,
-                grad_atol=5e-3, hard_bwd_impls=("stepvjp",)):
+                grad_atol=5e-3, hard_bwd_impls=("stepvjp", "pallas")):
   """Run the forward + backward march parity gate on the current backend.
 
   Returns (deviations, soft_failures): a dict of max deviations and a
