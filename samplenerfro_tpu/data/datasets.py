@@ -22,6 +22,7 @@ import numpy as np
 
 import jax
 
+from samplenerfro_tpu.data import pose_paths
 from samplenerfro_tpu.data import rays as rays_lib
 from samplenerfro_tpu.data.rays import Rays, namedtuple_map
 from samplenerfro_tpu.ops import grid as grid_ops
@@ -396,15 +397,17 @@ class LLFF(Dataset):
     scale = 1.0 / (bds.min() * 0.75)
     poses[:, :3, 3] *= scale
     bds *= scale
-    poses = self._recenter_poses(poses)
+    poses = pose_paths.recenter_poses(poses)
 
     if args.spherify:
-      poses = self._generate_spherical_poses(poses, bds)
+      poses, render_poses, bds = pose_paths.spherify_poses(poses, bds)
+      if self.split == "test":
+        self.render_poses = render_poses
       self.spherify = True
     else:
       self.spherify = False
     if not args.spherify and self.split == "test":
-      self._generate_spiral_poses(poses, bds)
+      self.render_poses = pose_paths.spiral_path(poses, bds)
 
     # Reference hardcodes index ranges for its scenes
     # (rnerf/datasets.py:587-595) — preserved when the scene is large
@@ -464,114 +467,6 @@ class LLFF(Dataset):
       split0, split1 = zip(*split)
       self.render_rays = Rays(*split0)
       self.rays = Rays(*split1)
-
-  # ---------------------------------------------------------------------
-  # LLFF pose-path helpers. Provenance: these reproduce the canonical
-  # JaxNeRF/LLFF camera-path math (Apache-2.0; the reference vendors the
-  # same code at rnerf/datasets.py:647-760). The formulas are kept verbatim
-  # because the generated spiral/spherical render paths must match the
-  # published datasets' camera trajectories exactly.
-  # ---------------------------------------------------------------------
-
-  def _recenter_poses(self, poses):
-    poses_ = poses.copy()
-    bottom = np.reshape([0, 0, 0, 1.0], [1, 4])
-    c2w = self._poses_avg(poses)
-    c2w = np.concatenate([c2w[:3, :4], bottom], -2)
-    bottom = np.tile(np.reshape(bottom, [1, 1, 4]), [poses.shape[0], 1, 1])
-    poses = np.concatenate([poses[:, :3, :4], bottom], -2)
-    poses = np.linalg.inv(c2w) @ poses
-    poses_[:, :3, :4] = poses[:, :3, :4]
-    return poses_
-
-  def _poses_avg(self, poses):
-    hwf = poses[0, :3, -1:]
-    center = poses[:, :3, 3].mean(0)
-    vec2 = self._normalize(poses[:, :3, 2].sum(0))
-    up = poses[:, :3, 1].sum(0)
-    return np.concatenate([self._viewmatrix(vec2, up, center), hwf], 1)
-
-  def _viewmatrix(self, z, up, pos):
-    vec2 = self._normalize(z)
-    vec0 = self._normalize(np.cross(up, vec2))
-    vec1 = self._normalize(np.cross(vec2, vec0))
-    return np.stack([vec0, vec1, vec2, pos], 1)
-
-  def _normalize(self, x):
-    return x / np.linalg.norm(x)
-
-  def _generate_spiral_poses(self, poses, bds):
-    c2w = self._poses_avg(poses)
-    up = self._normalize(poses[:, :3, 1].sum(0))
-    close_depth, inf_depth = bds.min() * 0.9, bds.max() * 5.0
-    dt = 0.75
-    focal = 1.0 / (((1.0 - dt) / close_depth + dt / inf_depth))
-    tt = poses[:, :3, 3]
-    rads = np.percentile(np.abs(tt), 90, 0)
-    n_views, n_rots = 120, 2
-    render_poses = []
-    rads = np.array(list(rads) + [1.0])
-    hwf = c2w[:, 4:5]
-    zrate = 0.5
-    for theta in np.linspace(0.0, 2.0 * np.pi * n_rots, n_views + 1)[:-1]:
-      c = np.dot(c2w[:3, :4], (np.array(
-          [np.cos(theta), -np.sin(theta), -np.sin(theta * zrate), 1.0])
-          * rads))
-      z = self._normalize(
-          c - np.dot(c2w[:3, :4], np.array([0, 0, -focal, 1.0])))
-      render_poses.append(np.concatenate([self._viewmatrix(z, up, c), hwf], 1))
-    self.render_poses = np.array(render_poses).astype(np.float32)[:, :3, :4]
-
-  def _generate_spherical_poses(self, poses, bds):
-    p34_to_44 = lambda p: np.concatenate([
-        p, np.tile(np.reshape(np.eye(4)[-1, :], [1, 1, 4]),
-                   [p.shape[0], 1, 1])], 1)
-    rays_d = poses[:, :3, 2:3]
-    rays_o = poses[:, :3, 3:4]
-
-    def min_line_dist(rays_o, rays_d):
-      a_i = np.eye(3) - rays_d * np.transpose(rays_d, [0, 2, 1])
-      b_i = -a_i @ rays_o
-      return np.squeeze(-np.linalg.inv(
-          (np.transpose(a_i, [0, 2, 1]) @ a_i).mean(0)) @ (b_i).mean(0))
-
-    center = min_line_dist(rays_o, rays_d)
-    up = (poses[:, :3, 3] - center).mean(0)
-    vec0 = self._normalize(up)
-    vec1 = self._normalize(np.cross([0.1, 0.2, 0.3], vec0))
-    vec2 = self._normalize(np.cross(vec0, vec1))
-    c2w = np.stack([vec1, vec2, vec0, center], 1)
-    poses_reset = (
-        np.linalg.inv(p34_to_44(c2w[None])) @ p34_to_44(poses[:, :3, :4]))
-    rad = np.sqrt(np.mean(np.sum(np.square(poses_reset[:, :3, 3]), -1)))
-    sc = 1.0 / rad
-    poses_reset[:, :3, 3] *= sc
-    bds *= sc
-    rad *= sc
-    centroid = np.mean(poses_reset[:, :3, 3], 0)
-    zh = centroid[2]
-    radcircle = np.sqrt(rad**2 - zh**2)
-    new_poses = []
-    for th in np.linspace(0.0, 2.0 * np.pi, 120):
-      camorigin = np.array(
-          [radcircle * np.cos(th), radcircle * np.sin(th), zh])
-      up = np.array([0, 0, -1.0])
-      vec2 = self._normalize(camorigin)
-      vec0 = self._normalize(np.cross(vec2, up))
-      vec1 = self._normalize(np.cross(vec2, vec0))
-      p = np.stack([vec0, vec1, vec2, camorigin], 1)
-      new_poses.append(p)
-    new_poses = np.stack(new_poses, 0)
-    new_poses = np.concatenate([
-        new_poses,
-        np.broadcast_to(poses[0, :3, -1:], new_poses[:, :3, -1:].shape)], -1)
-    poses_reset = np.concatenate([
-        poses_reset[:, :3, :4],
-        np.broadcast_to(poses[0, :3, -1:], poses_reset[:, :3, -1:].shape)], -1)
-    if self.split == "test":
-      self.render_poses = new_poses[:, :3, :4]
-    return poses_reset
-
 
 class Grid(Dataset):
   """Boundary-point sampler for sparsity/normal losses.
