@@ -322,20 +322,28 @@ def measure_eval(args, grid_n, res=800, chunk=8192):
   render_multi = (step_lib.make_render_fn_multi(model, args, grid_vars,
                                                 mesh=mesh)
                   if cpd > 1 else None)
+  # Clamp-free repair path for bundles that outdrift every calibrated
+  # window (utils/render.py render_exact_fn); its cost is part of the
+  # timed render, so the headline stays honest.
+  render_exact = (step_lib.make_render_fn(
+      model.clone(march_mode="scan"), args, grid_vars, mesh=mesh)
+      if args.march_mode in ("tiled", "pallas") else None)
   img_rays = camera_rays(res)
   params = state.params
   tile = args.tile_size if args.march_mode in ("tiled", "pallas") else 0
   run = lambda: render_lib.render_image(
       lambda k0, k1, r: render_fn(params, k0, k1, r), img_rays,
       random.PRNGKey(2), False, chunk=chunk, mesh=mesh, tile=tile,
-      chunks_per_dispatch=cpd,
+      chunks_per_dispatch=cpd, return_oow=True,
       render_multi_fn=(None if render_multi is None else
-                       lambda k0, k1, r: render_multi(params, k0, k1, r)))
+                       lambda k0, k1, r: render_multi(params, k0, k1, r)),
+      render_exact_fn=(None if render_exact is None else
+                       lambda k0, k1, r: render_exact(params, k0, k1, r)))
   run()  # warmup/compile
   t0 = time.perf_counter()
-  run()
+  oow = int(run()[3])
   dt = time.perf_counter() - t0
-  return res * res / dt, dt
+  return res * res / dt, dt, oow
 
 
 def production_args(stage="radiance_bench", window=None, **over):
@@ -449,7 +457,8 @@ def main():
     res = int(os.environ.get("BENCH_EVAL_RES", "800"))
     chunk = int(os.environ.get("BENCH_EVAL_CHUNK", "8192"))
     args = production_args()
-    rays_per_sec, dt = measure_eval(args, GRID_N, res=res, chunk=chunk)
+    rays_per_sec, dt, eval_oow = measure_eval(args, GRID_N, res=res,
+                                              chunk=chunk)
     print(json.dumps({
         "metric": "test_rays_per_sec",
         "value": round(rays_per_sec, 1),
@@ -457,7 +466,8 @@ def main():
         "vs_baseline": None,
         "baseline_provenance": "reference publishes no eval numbers",
         "march_mode": args.march_mode, "grid_n": GRID_N,
-        "secs_per_frame": round(dt, 3), "res": res, **record,
+        "secs_per_frame": round(dt, 3), "res": res,
+        "eval_march_oow": eval_oow, "eval_exact": eval_oow == 0, **record,
     }))
     return
 
@@ -510,8 +520,10 @@ def main():
         window=record.get("scene_off_window", 0),
         march_refetch=record.get("scene_off_refetch", 8)), GRID_N)
     try:
-      record["eval_rays_per_sec"] = round(
-          measure_eval(production_args(), GRID_N)[0], 1)
+      eval_rps, _, eval_oow = measure_eval(production_args(), GRID_N)
+      record["eval_rays_per_sec"] = round(eval_rps, 1)
+      record["eval_march_oow"] = eval_oow
+      record["eval_exact"] = eval_oow == 0
     except Exception as e:  # noqa: BLE001
       record["eval_error"] = f"{type(e).__name__}: {e}"[:200]
     # Production train-LOOP throughput (fresh batch per step through the

@@ -19,7 +19,8 @@ from samplenerfro_tpu.parallel import mesh as mesh_lib
 
 def render_image(render_fn, rays, rng, normalize_disp, chunk=8192, mesh=None,
                  tile=0, pipeline_depth=8, chunks_per_dispatch=1,
-                 render_multi_fn=None):
+                 render_multi_fn=None, return_oow=False,
+                 render_exact_fn=None):
   """Render all pixels of an image in chunks.
 
   Args:
@@ -45,9 +46,19 @@ def render_image(render_fn, rays, rng, normalize_disp, chunk=8192, mesh=None,
       Bit-identical outputs in either mode.
     render_multi_fn: jitted (key_0, key_1, stacked_rays [K, n, C]) ->
       stacked outputs; required when chunks_per_dispatch > 1.
+    render_exact_fn: optional clamp-free renderer (same signature as
+      render_fn; in practice make_render_fn of model.clone(
+      march_mode="scan")). Chunks the windowed marcher clamped are
+      re-rendered with it and replaced — the window is a speed
+      optimization, never a correctness compromise: bundles that outdrift
+      every calibrated window (caustic bundles through a strong
+      refractive object can diverge unboundedly) take the exact-scan
+      path, everything else keeps the fused-kernel rate.
 
   Returns:
-    (rgb [h, w, 3], distance [h, w, 1], acc [h, w, 1]) numpy arrays.
+    (rgb [h, w, 3], distance [h, w, 1], acc [h, w, 1]) numpy arrays; with
+    return_oow=True a 4th element: the total out-of-window clamp count the
+    windowed marcher reported across all chunks (0 == render was exact).
   """
   height, width = rays[0].shape[:2]
   num_rays = height * width
@@ -68,6 +79,8 @@ def render_image(render_fn, rays, rng, normalize_disp, chunk=8192, mesh=None,
   pending = collections.deque()  # entries: (stacked?, outs, paddings tuple)
   inflight = [0]
 
+  chunk_oows = []  # per-chunk clamp counts, aligned with `results`
+
   def drain_one():
     nonlocal total_oow
     stacked, outs, paddings = pending.popleft()
@@ -78,6 +91,7 @@ def render_image(render_fn, rays, rng, normalize_disp, chunk=8192, mesh=None,
       oow = np.asarray(oow)[None]
     for k, padding in enumerate(paddings):
       total_oow += int(oow[k])
+      chunk_oows.append(int(oow[k]))
       r_, d_, a_ = rgb[k], distance[k], acc[k]
       if padding:
         r_, d_, a_ = r_[:-padding], d_[:-padding], a_[:-padding]
@@ -133,6 +147,38 @@ def render_image(render_fn, rays, rng, normalize_disp, chunk=8192, mesh=None,
   while pending:
     drain_one()
 
+  if total_oow > 0 and render_exact_fn is not None:
+    # Exact repair: chunks where the windowed marcher clamped (results and
+    # starts are aligned one-to-one, in submission order) are re-rendered
+    # with the clamp-free renderer and replaced.
+    dirty = [i for i, c in enumerate(chunk_oows) if c > 0]
+    clamped, residual = total_oow, 0
+    rpending = collections.deque()
+
+    def drain_repair():
+      nonlocal residual
+      i, outs, padding = rpending.popleft()
+      r_, d_, a_, oow = jax.device_get(outs)
+      residual += int(oow)
+      if padding:
+        r_, d_, a_ = r_[:-padding], d_[:-padding], a_[:-padding]
+      results[i] = (r_, d_, a_)
+
+    for i in dirty:
+      chunk_rays, padding = prep_chunk(starts[i])
+      if mesh is not None:
+        chunk_rays = mesh_lib.put_batch(chunk_rays, mesh)
+      out = render_exact_fn(key_0, key_1, chunk_rays)
+      oow = out[5] if len(out) > 5 else 0
+      rpending.append((i, (out[0], out[1], out[2], oow), padding))
+      while len(rpending) >= max(1, pipeline_depth):
+        drain_repair()
+    while rpending:
+      drain_repair()
+    print(f"render_image: re-rendered {len(dirty)}/{len(starts)} clamped "
+          f"chunks with the exact marcher ({clamped} window clamps "
+          "repaired)")
+    total_oow = residual
   if total_oow > 0:
     print(f"WARNING: tiled marcher clamped {total_oow} out-of-window "
           "interpolations this image; increase --march_window (or use "
@@ -142,6 +188,7 @@ def render_image(render_fn, rays, rng, normalize_disp, chunk=8192, mesh=None,
     rgb, distance, acc = rgb[inv_perm], distance[inv_perm], acc[inv_perm]
   if normalize_disp:
     distance = (distance - distance.min()) / (distance.max() - distance.min())
-  return (rgb.reshape((height, width, -1)),
-          distance.reshape((height, width, -1)),
-          acc.reshape((height, width, -1)))
+  out = (rgb.reshape((height, width, -1)),
+         distance.reshape((height, width, -1)),
+         acc.reshape((height, width, -1)))
+  return out + (total_oow,) if return_oow else out

@@ -118,3 +118,69 @@ def test_multi_chunk_dispatch_bit_exact(tmp_path):
   for a, b in zip(plain, grouped):
     np.testing.assert_array_equal(np.array(a), np.array(b))
   assert grouped[0].shape == (16, 16, 3)
+
+
+def test_exact_repair_replaces_clamped_chunks():
+  """Chunks the windowed marcher clamped are re-rendered clamp-free.
+
+  Fake renderers: the 'windowed' one reports oow > 0 on chunks 1 and 3
+  and writes sentinel 0.25; the 'exact' one writes sentinel 0.75. After
+  repair, exactly those chunks carry the exact sentinel and the returned
+  residual oow is 0.
+  """
+  from samplenerfro_tpu.data.rays import Rays
+
+  h = w = 8
+  chunk = 16
+  n_chunks = h * w // chunk
+  rays = Rays(origins=np.zeros((h, w, 3), np.float32),
+              directions=np.ones((h, w, 3), np.float32),
+              viewdirs=np.ones((h, w, 3), np.float32),
+              radii=np.ones((h, w, 1), np.float32))
+  calls = {"windowed": 0, "exact": 0}
+
+  def windowed_fn(k0, k1, chunk_rays):
+    i = calls["windowed"]
+    calls["windowed"] += 1
+    n = chunk_rays.origins.shape[0]
+    oow = np.int32(7 if i % n_chunks in (1, 3) else 0)
+    return (np.full((n, 3), 0.25, np.float32), np.zeros((n, 1), np.float32),
+            np.ones((n, 1), np.float32), None, None, oow)
+
+  def exact_fn(k0, k1, chunk_rays):
+    calls["exact"] += 1
+    n = chunk_rays.origins.shape[0]
+    return (np.full((n, 3), 0.75, np.float32), np.zeros((n, 1), np.float32),
+            np.ones((n, 1), np.float32), None, None, np.int32(0))
+
+  rgb, _, _, oow = render_lib.render_image(
+      windowed_fn, rays, random.PRNGKey(0), False, chunk=chunk,
+      return_oow=True, render_exact_fn=exact_fn)
+  assert oow == 0
+  assert calls["exact"] == 2
+  flat = rgb.reshape(n_chunks, chunk, 3)
+  np.testing.assert_array_equal(flat[1], 0.75)
+  np.testing.assert_array_equal(flat[3], 0.75)
+  np.testing.assert_array_equal(flat[0], 0.25)
+  np.testing.assert_array_equal(flat[2], 0.25)
+
+
+def test_no_repair_without_exact_fn():
+  """Without render_exact_fn the clamp count is reported, not repaired."""
+  from samplenerfro_tpu.data.rays import Rays
+
+  h = w = 4
+  rays = Rays(origins=np.zeros((h, w, 3), np.float32),
+              directions=np.ones((h, w, 3), np.float32),
+              viewdirs=np.ones((h, w, 3), np.float32),
+              radii=np.ones((h, w, 1), np.float32))
+
+  def windowed_fn(k0, k1, chunk_rays):
+    n = chunk_rays.origins.shape[0]
+    return (np.full((n, 3), 0.25, np.float32), np.zeros((n, 1), np.float32),
+            np.ones((n, 1), np.float32), None, None, np.int32(3))
+
+  rgb, _, _, oow = render_lib.render_image(
+      windowed_fn, rays, random.PRNGKey(0), False, chunk=8, return_oow=True)
+  assert oow == 6  # 2 chunks x 3 clamps, untouched
+  np.testing.assert_array_equal(rgb.reshape(-1, 3), 0.25)

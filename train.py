@@ -120,6 +120,11 @@ def main(unused_argv):
   render_multi_fn = (
       step_lib.make_render_fn_multi(model, FLAGS, grid_vars, mesh=mesh)
       if FLAGS.render_chunks_per_dispatch > 1 else None)
+  # Clamp-free repair for in-loop val renders (utils/render.py).
+  render_exact_fn = (
+      step_lib.make_render_fn(model.clone(march_mode="scan"), FLAGS,
+                              grid_vars, mesh=mesh)
+      if FLAGS.march_mode in ("tiled", "pallas") else None)
   tiled_training = train_model.march_mode in ("tiled", "pallas")
 
   ssim_fn = jax.jit(
@@ -344,7 +349,9 @@ def main(unused_argv):
           chunk=FLAGS.chunk, mesh=mesh, tile=render_tile,
           chunks_per_dispatch=FLAGS.render_chunks_per_dispatch,
           render_multi_fn=(functools.partial(render_multi_fn, eval_params)
-                           if render_multi_fn is not None else None))
+                           if render_multi_fn is not None else None),
+          render_exact_fn=(functools.partial(render_exact_fn, eval_params)
+                           if render_exact_fn is not None else None))
       if jax.process_index() == 0:
         psnr = metrics.compute_psnr(
             ((pred_color - val_case["pixels"])**2).mean())
