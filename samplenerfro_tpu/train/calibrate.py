@@ -14,12 +14,18 @@ import numpy as np
 
 
 def probe_batches_from_view(rays, tile_size, batch_size):
-  """Tile-reordered probe rays from one [H, W] camera view.
+  """Tile-reordered probe rays covering one whole [H, W] camera view.
 
   Renders reorder pixels into tile blocks (utils/render.py), so window
   calibration for eval/extract probes the same ordering: the view's rays
-  permuted into tiles, truncated to a whole number of blocks capped at
-  batch_size rays.
+  permuted into tiles. EVERY tile block of the view is probed — sampling a
+  subset under-picks the window (a strided 16-block probe of an 800² view
+  still left 1.5M clamped interpolations on the unprobed central rays of
+  the real render; the original first-batch_size-rays probe left 21M). The
+  probe only runs the march (no MLPs/render), so full coverage costs ~1 s
+  per ladder candidate, once per driver startup. Chunks share one shape
+  (batch_size rounded down to whole blocks; the tail chunk overlaps the
+  previous one) so each candidate compiles a single probe executable.
   """
   from samplenerfro_tpu.ops import eikonal_tiled
   h, w = rays.origins.shape[:2]
@@ -27,8 +33,18 @@ def probe_batches_from_view(rays, tile_size, batch_size):
   flat = jax.tree_util.tree_map(
       lambda x: np.asarray(x).reshape(h * w, -1)[perm], rays)
   block = tile_size**2
-  nprobe = min(batch_size, (h * w // block) * block)
-  return [{"rays": jax.tree_util.tree_map(lambda x: x[:nprobe], flat)}]
+  nrays = h * w  # full tiles first, partial edge tiles last (tile_order)
+  bs = min(nrays, max(block, (batch_size // block) * block))
+  starts = list(range(0, nrays - bs + 1, bs))
+  if starts[-1] + bs < nrays:
+    starts.append(nrays - bs)  # overlapped tail chunk, same shape
+  # Center-out probe order: the hardest bundles (strongly bent rays
+  # through a centered refractive object) sit mid-view, so a window that
+  # is going to fail fails on its FIRST probe chunk and the calibration
+  # ladder early-exits it cheaply. Pure reordering — coverage unchanged.
+  starts.sort(key=lambda s: abs(s + bs // 2 - nrays // 2))
+  return [{"rays": jax.tree_util.tree_map(lambda x: x[s:s + bs], flat)}
+          for s in starts]
 
 
 def maybe_autocalibrate(model, variables, flags, probe_batches):
@@ -61,9 +77,10 @@ def maybe_autocalibrate(model, variables, flags, probe_batches):
 # fall back to the slower XLA tiled marcher, so the pallas ladder skips
 # them.
 CANDIDATES = ((8, 8), (8, 4), (10, 8), (12, 8), (12, 4), (16, 8), (16, 4),
-              (20, 8), (24, 8), (24, 4), (28, 8), (32, 8), (32, 4))
+              (20, 8), (24, 8), (24, 4), (28, 8), (32, 8), (32, 4),
+              (40, 8), (40, 4), (48, 8), (48, 4))
 CANDIDATES_PALLAS = ((8, 8), (8, 4), (16, 8), (16, 4), (24, 8), (24, 4),
-                     (32, 8), (32, 4))
+                     (32, 8), (32, 4), (40, 8), (40, 4), (48, 8), (48, 4))
 
 
 def _resolved_bwd_impl(flag_value):
@@ -89,8 +106,8 @@ def ladder_step_down(window, refetch):
   """
   if refetch > 4:
     return "halve_refetch", window, refetch // 2
-  if window < 32:
-    return "widen_window", min(32, window + 8), 8
+  if window < 48:
+    return "widen_window", min(48, window + 8), 8
   return "scan", window, refetch
 
 
@@ -158,6 +175,8 @@ def calibrate_march_window(model, variables, batches, candidates=None,
         rays = batch["rays"]
         total += int(probe(variables, np.asarray(rays.origins),
                            np.asarray(rays.viewdirs)))
+        if total:
+          break  # candidate already inexact; skip its remaining chunks
     except jax.errors.JaxRuntimeError as e:
       # A candidate that fails to COMPILE (e.g. a window whose scoped-VMEM
       # footprint exceeds the Mosaic stack at this grid scale) is
@@ -169,10 +188,11 @@ def calibrate_march_window(model, variables, batches, candidates=None,
     results[(window, refetch)] = total
     if total == 0:
       return (window, refetch), results
-  # No clean candidate: fall back to the compilable one with the fewest
-  # clamps (ties -> latest probed, i.e. the widest window).
-  compiled = [(cand, oow) for cand, oow in results.items() if oow is not None]
+  # No clean candidate: fall back to the LAST compilable candidate (the
+  # widest window / shortest reuse period — fewest clamps in reality).
+  # Probing early-exits a candidate at its first dirty chunk, so recorded
+  # totals are prefix counts and NOT comparable across candidates.
+  compiled = [cand for cand, oow in results.items() if oow is not None]
   if compiled:
-    best = min(reversed(compiled), key=lambda kv: kv[1])[0]
-    return best, results
+    return compiled[-1], results
   return candidates[-1], results

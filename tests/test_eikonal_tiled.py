@@ -176,12 +176,12 @@ def test_window_calibration():
 def test_calibration_ladder_reaches_runtime_fallback_ceiling():
   """The probe ladders reach the same w32 ceiling as ladder_step_down.
 
-  Otherwise a scene needing >24-voxel coverage would calibrate to a DIRTY
-  w24 (fewest clamps) while the runtime fallback policy claims w32 exists.
+  Otherwise a scene needing >32-voxel coverage would calibrate to a DIRTY
+  w32 while the runtime fallback policy claims w48 exists.
   """
   from samplenerfro_tpu.train import calibrate
-  assert calibrate.CANDIDATES[-1][0] == 32
-  assert calibrate.CANDIDATES_PALLAS[-1][0] == 32
+  assert calibrate.CANDIDATES[-1][0] == 48
+  assert calibrate.CANDIDATES_PALLAS[-1][0] == 48
   # Every pallas candidate must satisfy the kernel's alignment rule
   # (window + 8 divisible by 8 <=> window % 8 == 0).
   assert all(w % 8 == 0 for w, _ in calibrate.CANDIDATES_PALLAS)
@@ -195,9 +195,10 @@ def test_ladder_step_down_policy():
   assert calibrate.ladder_step_down(24, 8) == ("halve_refetch", 24, 4)
   assert calibrate.ladder_step_down(24, 4) == ("widen_window", 32, 8)
   assert calibrate.ladder_step_down(32, 8) == ("halve_refetch", 32, 4)
-  assert calibrate.ladder_step_down(32, 4) == ("scan", 32, 4)
+  assert calibrate.ladder_step_down(32, 4) == ("widen_window", 40, 8)
+  assert calibrate.ladder_step_down(48, 4) == ("scan", 48, 4)
   # Widening never overshoots the cap.
-  assert calibrate.ladder_step_down(28, 4) == ("widen_window", 32, 8)
+  assert calibrate.ladder_step_down(44, 4) == ("widen_window", 48, 8)
   # The small-window start has the longest runway.
   w, r, hops = 8, 8, 0
   while True:
@@ -205,7 +206,7 @@ def test_ladder_step_down_policy():
     hops += 1
     if action == "scan":
       break
-  assert hops == 8, hops
+  assert hops == 12, hops
 
 
 def test_calibration_filters_by_reverse_kernel_support(monkeypatch):
@@ -247,3 +248,30 @@ def test_calibration_filters_by_reverse_kernel_support(monkeypatch):
   assert probed, "filter never consulted the reverse kernel envelope"
   assert (8, 8) not in results, "unsupported pair was still probed"
   assert chosen[0] >= 16
+
+
+def test_probe_batches_cover_whole_view():
+  """Window calibration probes EVERY pixel of the probe view.
+
+  A subset probe under-picks the window: the round-4 strided 16-block
+  probe of an 800 x 800 eval view still left 1.5M clamped interpolations
+  on the unprobed central rays (the bent ones a refractive object
+  produces). Coverage here is asserted by tagging each ray with its flat
+  pixel index and checking the probed union is the full view.
+  """
+  from samplenerfro_tpu.data.rays import Rays
+  from samplenerfro_tpu.train import calibrate
+
+  for h, w, tile, batch in ((16, 24, 4, 64), (10, 10, 4, 32), (8, 8, 8, 256)):
+    idx = np.arange(h * w, dtype=np.float32).reshape(h, w, 1)
+    rays = Rays(origins=np.tile(idx, (1, 1, 3)),
+                directions=np.ones((h, w, 3), np.float32),
+                viewdirs=np.ones((h, w, 3), np.float32),
+                radii=np.ones((h, w, 1), np.float32))
+    batches = calibrate.probe_batches_from_view(rays, tile, batch)
+    seen = np.unique(np.concatenate(
+        [b["rays"].origins[:, 0] for b in batches]))
+    assert seen.size == h * w, (h, w, tile, batch, seen.size)
+    # All chunks share one shape => one compiled probe per candidate.
+    sizes = {b["rays"].origins.shape[0] for b in batches}
+    assert len(sizes) == 1 and next(iter(sizes)) % tile**2 == 0
