@@ -50,6 +50,7 @@ Baseline provenance (both labeled in the JSON):
     literal.
 """
 
+import functools
 import json
 import os
 import subprocess
@@ -322,12 +323,10 @@ def measure_eval(args, grid_n, res=800, chunk=8192):
   render_multi = (step_lib.make_render_fn_multi(model, args, grid_vars,
                                                 mesh=mesh)
                   if cpd > 1 else None)
-  # Clamp-free repair path for bundles that outdrift every calibrated
-  # window (utils/render.py render_exact_fn); its cost is part of the
+  # Clamp-free repair ladder for bundles that outdrift every calibrated
+  # window (train/step.py make_repair_fns); its cost is part of the
   # timed render, so the headline stays honest.
-  render_exact = (step_lib.make_render_fn(
-      model.clone(march_mode="scan"), args, grid_vars, mesh=mesh)
-      if args.march_mode in ("tiled", "pallas") else None)
+  repair_fns = step_lib.make_repair_fns(model, args, grid_vars, mesh=mesh)
   img_rays = camera_rays(res)
   params = state.params
   tile = args.tile_size if args.march_mode in ("tiled", "pallas") else 0
@@ -337,8 +336,8 @@ def measure_eval(args, grid_n, res=800, chunk=8192):
       chunks_per_dispatch=cpd, return_oow=True,
       render_multi_fn=(None if render_multi is None else
                        lambda k0, k1, r: render_multi(params, k0, k1, r)),
-      render_exact_fn=(None if render_exact is None else
-                       lambda k0, k1, r: render_exact(params, k0, k1, r)))
+      render_exact_fn=(None if repair_fns is None else
+                       [functools.partial(f, params) for f in repair_fns]))
   run()  # warmup/compile
   t0 = time.perf_counter()
   oow = int(run()[3])

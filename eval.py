@@ -69,13 +69,10 @@ def main(unused_argv):
   render_multi_fn = (
       step_lib.make_render_fn_multi(model, FLAGS, grid_vars, mesh=mesh)
       if FLAGS.render_chunks_per_dispatch > 1 else None)
-  # Clamp-free repair path: chunks whose ray bundles outdrift the
-  # calibrated window re-render with the exact scan marcher
-  # (utils/render.py render_exact_fn), so eval outputs are always exact.
-  render_exact_fn = (
-      step_lib.make_render_fn(model.clone(march_mode="scan"), FLAGS,
-                              grid_vars, mesh=mesh)
-      if FLAGS.march_mode in ("tiled", "pallas") else None)
+  # Clamp-free repair ladder: chunks whose ray bundles outdrift the
+  # calibrated window re-render through the wide-tiled -> scan ladder
+  # (train/step.py make_repair_fns), so eval outputs are always exact.
+  repair_fns = step_lib.make_repair_fns(model, FLAGS, grid_vars, mesh=mesh)
 
   ssim_fn = jax.jit(
       functools.partial(metrics.compute_ssim, max_val=1.0), backend="cpu")
@@ -121,8 +118,9 @@ def main(unused_argv):
           chunks_per_dispatch=FLAGS.render_chunks_per_dispatch,
           render_multi_fn=(functools.partial(render_multi_fn, params)
                            if render_multi_fn is not None else None),
-          render_exact_fn=(functools.partial(render_exact_fn, params)
-                           if render_exact_fn is not None else None))
+          render_exact_fn=(
+              [functools.partial(f, params) for f in repair_fns]
+              if repair_fns is not None else None))
       vis_suite = vis.visualize_suite(pred_disp[..., 0], pred_acc[..., 0])
 
       if jax.process_index() != 0:

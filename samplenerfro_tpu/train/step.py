@@ -297,6 +297,39 @@ def make_train_step_multi(model, args, grid_vars, donate=True):
   return lambda rng, state, batch: jitted(rng, state, batch, grid_vars)
 
 
+def make_repair_fns(model, args, grid_vars, mesh=None):
+  """Escalation ladder of repair renderers for render_image.
+
+  Chunks the production windowed marcher clamps (bundles that outdrift
+  every calibrated window) re-render through this ladder so full-image
+  renders are ALWAYS exact:
+
+  1. The XLA windowed marcher at a wide window the Mosaic kernel cannot
+     compile at flagship grid scale (default 64 voxels, refetch 2;
+     MARCH_REPAIR_WINDOW / MARCH_REPAIR_REFETCH override) with
+     march_interp=highest — bit-exact to the scan marcher when clamp-free
+     (tests/test_eikonal_tiled.py parity) at a fraction of its cost.
+  2. The window-free scan marcher — never clamps, the last resort.
+
+  Measured at the 512^3 eval bench (render_image docstring): repairing
+  49/79 chunks with scan alone cost 36 s/frame; the wide tiled stage
+  absorbs most of that. Returns None for non-windowed march modes.
+  """
+  if getattr(model, "march_mode", "scan") not in ("tiled", "pallas"):
+    return None
+  import os
+  wide_w = int(os.environ.get("MARCH_REPAIR_WINDOW", "64"))
+  wide_r = int(os.environ.get("MARCH_REPAIR_REFETCH", "2"))
+  wide = make_render_fn(
+      model.clone(march_mode="tiled", march_window=wide_w,
+                  march_refetch=wide_r, march_interp="highest",
+                  march_skip="off"),
+      args, grid_vars, mesh=mesh)
+  scan = make_render_fn(model.clone(march_mode="scan"), args, grid_vars,
+                        mesh=mesh)
+  return [wide, scan]
+
+
 def make_render_fn(model, args, grid_vars, mesh=None):
   """Jitted deterministic renderer for eval.
 

@@ -46,14 +46,18 @@ def render_image(render_fn, rays, rng, normalize_disp, chunk=8192, mesh=None,
       Bit-identical outputs in either mode.
     render_multi_fn: jitted (key_0, key_1, stacked_rays [K, n, C]) ->
       stacked outputs; required when chunks_per_dispatch > 1.
-    render_exact_fn: optional clamp-free renderer (same signature as
-      render_fn; in practice make_render_fn of model.clone(
-      march_mode="scan")). Chunks the windowed marcher clamped are
-      re-rendered with it and replaced — the window is a speed
-      optimization, never a correctness compromise: bundles that outdrift
-      every calibrated window (caustic bundles through a strong
-      refractive object can diverge unboundedly) take the exact-scan
-      path, everything else keeps the fused-kernel rate.
+    render_exact_fn: optional repair renderer (same signature as
+      render_fn), or a LIST of them forming an escalation ladder. Chunks
+      the windowed marcher clamped are re-rendered and replaced — the
+      window is a speed optimization, never a correctness compromise:
+      bundles that outdrift every calibrated window (caustic bundles
+      through a strong refractive object can diverge unboundedly) take
+      the repair path, everything else keeps the fused-kernel rate. With
+      a ladder, a chunk a repair stage STILL clamps escalates to the next
+      stage (train/step.py make_repair_fns: the XLA windowed marcher at a
+      wide Mosaic-uncompilable window first — ~5x faster than scan and
+      bit-exact to it at march_interp=highest when clamp-free — then the
+      truly window-free scan marcher as the last resort).
 
   Returns:
     (rgb [h, w, 3], distance [h, w, 1], acc [h, w, 1]) numpy arrays; with
@@ -150,34 +154,54 @@ def render_image(render_fn, rays, rng, normalize_disp, chunk=8192, mesh=None,
   if total_oow > 0 and render_exact_fn is not None:
     # Exact repair: chunks where the windowed marcher clamped (results and
     # starts are aligned one-to-one, in submission order) are re-rendered
-    # with the clamp-free renderer and replaced.
+    # and replaced. render_exact_fn may be an escalation LADDER of
+    # renderers: a chunk a stage still clamps is handed to the next stage
+    # (and only the ladder's LAST stage may leave a residual — in practice
+    # it is the window-free scan marcher, which never clamps).
+    repair_fns = (list(render_exact_fn)
+                  if isinstance(render_exact_fn, (list, tuple))
+                  else [render_exact_fn])
     dirty = [i for i, c in enumerate(chunk_oows) if c > 0]
     clamped, residual = total_oow, 0
-    rpending = collections.deque()
+    n_dirty = len(dirty)
+    for stage, repair_fn in enumerate(repair_fns):
+      if not dirty:
+        break
+      last_stage = stage == len(repair_fns) - 1
+      escalate = []
+      rpending = collections.deque()
 
-    def drain_repair():
-      nonlocal residual
-      i, outs, padding = rpending.popleft()
-      r_, d_, a_, oow = jax.device_get(outs)
-      residual += int(oow)
-      if padding:
-        r_, d_, a_ = r_[:-padding], d_[:-padding], a_[:-padding]
-      results[i] = (r_, d_, a_)
+      def drain_repair():
+        nonlocal residual
+        i, outs, padding = rpending.popleft()
+        r_, d_, a_, oow = jax.device_get(outs)
+        oow = int(oow)
+        if oow > 0 and not last_stage:
+          escalate.append(i)  # still clamped: keep the original, escalate
+          return
+        residual += oow
+        if padding:
+          r_, d_, a_ = r_[:-padding], d_[:-padding], a_[:-padding]
+        results[i] = (r_, d_, a_)
 
-    for i in dirty:
-      chunk_rays, padding = prep_chunk(starts[i])
-      if mesh is not None:
-        chunk_rays = mesh_lib.put_batch(chunk_rays, mesh)
-      out = render_exact_fn(key_0, key_1, chunk_rays)
-      oow = out[5] if len(out) > 5 else 0
-      rpending.append((i, (out[0], out[1], out[2], oow), padding))
-      while len(rpending) >= max(1, pipeline_depth):
+      for i in dirty:
+        chunk_rays, padding = prep_chunk(starts[i])
+        if mesh is not None:
+          chunk_rays = mesh_lib.put_batch(chunk_rays, mesh)
+        out = repair_fn(key_0, key_1, chunk_rays)
+        oow = out[5] if len(out) > 5 else 0
+        rpending.append((i, (out[0], out[1], out[2], oow), padding))
+        while len(rpending) >= max(1, pipeline_depth):
+          drain_repair()
+      while rpending:
         drain_repair()
-    while rpending:
-      drain_repair()
-    print(f"render_image: re-rendered {len(dirty)}/{len(starts)} clamped "
-          f"chunks with the exact marcher ({clamped} window clamps "
-          "repaired)")
+      if escalate:
+        print(f"render_image: repair stage {stage} left {len(escalate)}/"
+              f"{len(dirty)} chunks clamped; escalating")
+      dirty = escalate
+    print(f"render_image: re-rendered {n_dirty}/{len(starts)} clamped "
+          f"chunks through the {len(repair_fns)}-stage repair ladder "
+          f"({clamped} window clamps repaired)")
     total_oow = residual
   if total_oow > 0:
     print(f"WARNING: tiled marcher clamped {total_oow} out-of-window "

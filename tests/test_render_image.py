@@ -165,6 +165,60 @@ def test_exact_repair_replaces_clamped_chunks():
   np.testing.assert_array_equal(flat[2], 0.25)
 
 
+def test_repair_ladder_escalates_still_clamped_chunks():
+  """A repair stage that still clamps hands the chunk to the next stage.
+
+  The windowed renderer clamps chunks 1 and 3. Repair stage 0 (the
+  wide-window tiled marcher in production) cleans chunk 1 (sentinel 0.5)
+  but still clamps chunk 3 — chunk 3 must keep its pre-repair pixels at
+  that point and escalate to stage 1 (scan, sentinel 0.75), which never
+  clamps. Residual oow must be 0.
+  """
+  from samplenerfro_tpu.data.rays import Rays
+
+  h = w = 8
+  chunk = 16
+  n_chunks = h * w // chunk
+  rays = Rays(origins=np.zeros((h, w, 3), np.float32),
+              directions=np.ones((h, w, 3), np.float32),
+              viewdirs=np.ones((h, w, 3), np.float32),
+              radii=np.ones((h, w, 1), np.float32))
+  calls = {"windowed": 0, "wide": 0, "scan": 0}
+
+  def windowed_fn(k0, k1, chunk_rays):
+    i = calls["windowed"]
+    calls["windowed"] += 1
+    n = chunk_rays.origins.shape[0]
+    oow = np.int32(7 if i % n_chunks in (1, 3) else 0)
+    return (np.full((n, 3), 0.25, np.float32), np.zeros((n, 1), np.float32),
+            np.ones((n, 1), np.float32), None, None, oow)
+
+  def wide_fn(k0, k1, chunk_rays):
+    i = calls["wide"]
+    calls["wide"] += 1
+    n = chunk_rays.origins.shape[0]
+    oow = np.int32(0 if i == 0 else 3)  # cleans chunk 1, still clamps 3
+    return (np.full((n, 3), 0.5, np.float32), np.zeros((n, 1), np.float32),
+            np.ones((n, 1), np.float32), None, None, oow)
+
+  def scan_fn(k0, k1, chunk_rays):
+    calls["scan"] += 1
+    n = chunk_rays.origins.shape[0]
+    return (np.full((n, 3), 0.75, np.float32), np.zeros((n, 1), np.float32),
+            np.ones((n, 1), np.float32), None, None, np.int32(0))
+
+  rgb, _, _, oow = render_lib.render_image(
+      windowed_fn, rays, random.PRNGKey(0), False, chunk=chunk,
+      return_oow=True, render_exact_fn=[wide_fn, scan_fn])
+  assert oow == 0
+  assert calls["wide"] == 2 and calls["scan"] == 1
+  flat = rgb.reshape(n_chunks, chunk, 3)
+  np.testing.assert_array_equal(flat[1], 0.5)   # cleaned by stage 0
+  np.testing.assert_array_equal(flat[3], 0.75)  # escalated to stage 1
+  np.testing.assert_array_equal(flat[0], 0.25)
+  np.testing.assert_array_equal(flat[2], 0.25)
+
+
 def test_no_repair_without_exact_fn():
   """Without render_exact_fn the clamp count is reported, not repaired."""
   from samplenerfro_tpu.data.rays import Rays

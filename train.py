@@ -120,11 +120,9 @@ def main(unused_argv):
   render_multi_fn = (
       step_lib.make_render_fn_multi(model, FLAGS, grid_vars, mesh=mesh)
       if FLAGS.render_chunks_per_dispatch > 1 else None)
-  # Clamp-free repair for in-loop val renders (utils/render.py).
-  render_exact_fn = (
-      step_lib.make_render_fn(model.clone(march_mode="scan"), FLAGS,
-                              grid_vars, mesh=mesh)
-      if FLAGS.march_mode in ("tiled", "pallas") else None)
+  # Clamp-free repair ladder for in-loop val renders (utils/render.py):
+  # wide-window XLA tiled marcher first, scan as the last resort.
+  repair_fns = step_lib.make_repair_fns(model, FLAGS, grid_vars, mesh=mesh)
   tiled_training = train_model.march_mode in ("tiled", "pallas")
 
   ssim_fn = jax.jit(
@@ -350,8 +348,9 @@ def main(unused_argv):
           chunks_per_dispatch=FLAGS.render_chunks_per_dispatch,
           render_multi_fn=(functools.partial(render_multi_fn, eval_params)
                            if render_multi_fn is not None else None),
-          render_exact_fn=(functools.partial(render_exact_fn, eval_params)
-                           if render_exact_fn is not None else None))
+          render_exact_fn=(
+              [functools.partial(f, eval_params) for f in repair_fns]
+              if repair_fns is not None else None))
       if jax.process_index() == 0:
         psnr = metrics.compute_psnr(
             ((pred_color - val_case["pixels"])**2).mean())
