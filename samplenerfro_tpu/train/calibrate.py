@@ -151,7 +151,17 @@ def calibrate_march_window(model, variables, batches, candidates=None,
             f"supported candidates {bwd_ok}")
       candidates = bwd_ok
   results = {}
+  failed_window = None  # narrowest window whose kernel failed to compile
   for window, refetch in candidates:
+    if failed_window is not None and window >= failed_window:
+      # Kernel VMEM/compile pressure grows monotonically with the window,
+      # and a failed Mosaic compile costs ~2.5 min through the remote
+      # relay — once one window fails, don't attempt anything wider
+      # (measured: both refetch variants of a failing window fail too).
+      print(f"march window calibration: skipping ({window}, {refetch}) "
+            f"(window {failed_window} already failed to compile)")
+      results[(window, refetch)] = None
+      continue
     probe_model = model.clone(march_window=window, march_refetch=refetch)
 
     @jax.jit
@@ -184,6 +194,8 @@ def calibrate_march_window(model, variables, batches, candidates=None,
       print(f"march window calibration: ({window}, {refetch}) failed to "
             f"compile, skipping: {str(e).splitlines()[0][:120]}")
       results[(window, refetch)] = None
+      failed_window = (window if failed_window is None
+                       else min(failed_window, window))
       continue
     results[(window, refetch)] = total
     if total == 0:

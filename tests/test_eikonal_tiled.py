@@ -250,6 +250,56 @@ def test_calibration_filters_by_reverse_kernel_support(monkeypatch):
   assert chosen[0] >= 16
 
 
+def test_calibration_skips_windows_wider_than_a_compile_failure():
+  """One failed kernel compile fences off every wider candidate.
+
+  A failed Mosaic compile costs ~2.5 min through the remote relay and
+  compile pressure grows monotonically with the window, so after (40, 8)
+  fails the ladder must not attempt (40, 4) or (48, *) — measured on the
+  512^3 eval calibration: 4 doomed attempts = ~10 wasted minutes per
+  driver startup.
+  """
+  import jax
+
+  from samplenerfro_tpu.data.rays import Rays
+  from samplenerfro_tpu.train import calibrate
+
+  attempts = []
+
+  class FakeModel:
+    march_mode = "pallas"
+    stage = "radiance"
+    march_bwd_impl = "auto"
+
+    def __init__(self, window=0, refetch=0):
+      self.march_window, self.march_refetch = window, refetch
+
+    def clone(self, march_window, march_refetch):
+      return FakeModel(march_window, march_refetch)
+
+    def apply(self, variables, origins, viewdirs, alpha, method=None,
+              mutable=None):
+      attempts.append((self.march_window, self.march_refetch))
+      if self.march_window >= 40:
+        raise jax.errors.JaxRuntimeError("mosaic scoped-vmem OOM")
+      # Always dirty: forces the ladder to walk every candidate.
+      return None, {"diagnostics": {"path_sampler": {
+          "march_oow": jnp.int32(1)}}}
+
+  rays = Rays(origins=np.zeros((16, 3), np.float32),
+              directions=np.ones((16, 3), np.float32),
+              viewdirs=np.ones((16, 3), np.float32),
+              radii=np.ones((16, 1), np.float32))
+  cands = ((32, 8), (40, 8), (40, 4), (48, 8), (48, 4))
+  chosen, results = calibrate.calibrate_march_window(
+      FakeModel(), {}, [{"rays": rays}], candidates=cands)
+  probed_windows = {w for w, _ in attempts}
+  assert probed_windows == {32, 40}, attempts
+  assert attempts.count((40, 8)) == 1 and (40, 4) not in attempts
+  assert results[(40, 4)] is None and results[(48, 8)] is None
+  assert chosen == (32, 8)  # last (only) compilable candidate
+
+
 def test_probe_batches_cover_whole_view():
   """Window calibration probes EVERY pixel of the probe view.
 
