@@ -76,11 +76,19 @@ def maybe_autocalibrate(model, variables, flags, probe_batches):
 # y extent; march_kernel._supports) — intermediate windows would silently
 # fall back to the slower XLA tiled marcher, so the pallas ladder skips
 # them.
+# The terminal (32, 2) candidate buys drift coverage with refetch rate
+# instead of width: halving the refetch period halves the drift a window
+# must cover, and the Mosaic kernel's window DMA is a contiguous slab that
+# rides full HBM bandwidth (unlike a wider window, which at 512^3 fails to
+# compile). Measured on the 512^3 eval view: (32, 4) clamps 1.56M
+# interpolations, (32, 2) clamps 2.6k — the residual is static bundle
+# SPREAD ((32, 1) measures the same), which the scan repair pass absorbs.
 CANDIDATES = ((8, 8), (8, 4), (10, 8), (12, 8), (12, 4), (16, 8), (16, 4),
               (20, 8), (24, 8), (24, 4), (28, 8), (32, 8), (32, 4),
-              (40, 8), (40, 4), (48, 8), (48, 4))
+              (40, 8), (40, 4), (48, 8), (48, 4), (32, 2))
 CANDIDATES_PALLAS = ((8, 8), (8, 4), (16, 8), (16, 4), (24, 8), (24, 4),
-                     (32, 8), (32, 4), (40, 8), (40, 4), (48, 8), (48, 4))
+                     (32, 8), (32, 4), (40, 8), (40, 4), (48, 8), (48, 4),
+                     (32, 2))
 
 
 def _resolved_bwd_impl(flag_value):

@@ -302,32 +302,35 @@ def make_repair_fns(model, args, grid_vars, mesh=None):
 
   Chunks the production windowed marcher clamps (bundles that outdrift
   every calibrated window) re-render through this ladder so full-image
-  renders are ALWAYS exact:
+  renders are ALWAYS exact. The default ladder is just the window-free
+  scan marcher (never clamps).
 
-  1. The XLA windowed marcher at a wide window the Mosaic kernel cannot
-     compile at flagship grid scale (default 64 voxels, refetch 2;
-     MARCH_REPAIR_WINDOW / MARCH_REPAIR_REFETCH override) with
-     march_interp=highest — bit-exact to the scan marcher when clamp-free
-     (tests/test_eikonal_tiled.py parity) at a fraction of its cost.
-  2. The window-free scan marcher — never clamps, the last resort.
+  MARCH_REPAIR_WINDOW=<w> (with MARCH_REPAIR_REFETCH, default 8) prepends
+  an XLA windowed-marcher stage at that window with march_interp=highest
+  (bit-exact to scan when clamp-free). Measured NEGATIVE at the 512^3
+  eval bench and therefore default-off: the XLA windowed marcher's
+  per-refetch window slices go through XLA's serialized-gather path, so
+  w64/r2 repaired the same 49 chunks at 1005 s/frame vs 36 s for scan —
+  25x SLOWER. The scan fallback and a shorter-refetch pallas calibration
+  ladder are the production repair strategy.
 
-  Measured at the 512^3 eval bench (render_image docstring): repairing
-  49/79 chunks with scan alone cost 36 s/frame; the wide tiled stage
-  absorbs most of that. Returns None for non-windowed march modes.
+  Returns None for non-windowed march modes.
   """
   if getattr(model, "march_mode", "scan") not in ("tiled", "pallas"):
     return None
   import os
-  wide_w = int(os.environ.get("MARCH_REPAIR_WINDOW", "64"))
-  wide_r = int(os.environ.get("MARCH_REPAIR_REFETCH", "2"))
-  wide = make_render_fn(
-      model.clone(march_mode="tiled", march_window=wide_w,
-                  march_refetch=wide_r, march_interp="highest",
-                  march_skip="off"),
-      args, grid_vars, mesh=mesh)
-  scan = make_render_fn(model.clone(march_mode="scan"), args, grid_vars,
-                        mesh=mesh)
-  return [wide, scan]
+  fns = []
+  wide_w = int(os.environ.get("MARCH_REPAIR_WINDOW", "0"))
+  if wide_w > 0:
+    wide_r = int(os.environ.get("MARCH_REPAIR_REFETCH", "8"))
+    fns.append(make_render_fn(
+        model.clone(march_mode="tiled", march_window=wide_w,
+                    march_refetch=wide_r, march_interp="highest",
+                    march_skip="off"),
+        args, grid_vars, mesh=mesh))
+  fns.append(make_render_fn(model.clone(march_mode="scan"), args, grid_vars,
+                            mesh=mesh))
+  return fns
 
 
 def make_render_fn(model, args, grid_vars, mesh=None):
