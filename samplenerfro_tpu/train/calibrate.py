@@ -99,24 +99,68 @@ def _resolved_bwd_impl(flag_value):
   return flag_value
 
 
-def ladder_step_down(window, refetch):
-  """Next marcher config after an out-of-window violation at runtime.
+def fallback_rungs(window, refetch):
+  """Ordered safer (window, refetch) rungs below the current one.
 
-  --march_oow_action=fallback policy (train.py): step DOWN the ladder
+  --march_oow_action=fallback policy (train.py): step DOWN this ladder
   instead of cliff-dropping to the 3x-slower scan — first halve the
   window reuse period (halves the drift the window margin must cover,
   costs only extra cheap window DMAs), then widen the window (resetting
-  the reuse period), and only past the widest supported window (32) fall
-  back to the exact scan marcher.
-
-  Returns (action, window, refetch) with action in
-  {"halve_refetch", "widen_window", "scan"}.
+  the reuse period), and past the 48-voxel cap walk a terminal
+  refetch-2 tier in DESCENDING width — wide windows can fail to COMPILE
+  at flagship grid scale (512^3 Mosaic compiles cap at w32), so after
+  the caller fences a failed width the walk still lands on a feasible
+  narrower short-refetch rung (the calibration ladders' own (32, 2)
+  terminal candidate). Every yielded rung has strictly more drift
+  coverage (window/refetch) than the current pair; when none compiles,
+  the caller falls back to the exact scan marcher.
   """
-  if refetch > 4:
-    return "halve_refetch", window, refetch // 2
-  if window < 48:
-    return "widen_window", min(48, window + 8), 8
-  return "scan", window, refetch
+  rungs = []
+  w, r = window, refetch
+  while r > 4:
+    r //= 2
+    rungs.append((w, r))
+  while w < 48:
+    w = min(48, w + 8)
+    rungs.append((w, 8))
+    rungs.append((w, 4))
+  rungs += [(48, 2), (40, 2), (32, 2)]
+  coverage = window / max(refetch, 1)
+  seen, out = set(), []
+  for cand in rungs:
+    if cand in seen or cand[0] / cand[1] <= coverage:
+      continue
+    seen.add(cand)
+    out.append(cand)
+  return out
+
+
+def probe_compilable(model, variables, rays_shape):
+  """Whether the model's marcher compiles at all for this batch shape.
+
+  A wide window can exceed the Mosaic scoped-VMEM stack at flagship grid
+  scale (512^3 compiles cap at w32); the runtime oow fallback probes each
+  candidate rung with abstract inputs (one compile, no execution, no
+  batch data) so it skips infeasible rungs instead of crashing the
+  training loop at its next step.
+  """
+  import jax.numpy as jnp
+  o = jax.ShapeDtypeStruct(tuple(rays_shape), jnp.float32)
+
+  def fn(variables, origins, viewdirs):
+    out, _ = model.apply(
+        variables, origins, viewdirs, 1.0,
+        method=lambda m, og, d, a: m.path_sampler(og, d, a),
+        mutable=["diagnostics"])
+    return out
+
+  try:
+    jax.jit(fn).lower(variables, o, o).compile()
+    return True
+  except jax.errors.JaxRuntimeError as e:
+    print("march fallback probe: candidate failed to compile: "
+          f"{str(e).splitlines()[0][:120]}")
+    return False
 
 
 def calibrate_march_window(model, variables, batches, candidates=None,

@@ -96,6 +96,35 @@ def test_multi_dispatch_cli_matches_single(scene, tmp_path):
                                err_msg=jax.tree_util.keystr(k))
 
 
+def test_oow_fallback_cli_smoke(scene, tmp_path):
+  """--march_oow_action=fallback steps down the rung ladder mid-training.
+
+  A deliberately-too-small pinned window clamps on the first step; the
+  loop must compile-probe a safer rung (calibrate.fallback_rungs), swap
+  the train step, and finish training without crashing or cliff-dropping
+  straight to scan.
+  """
+  train_dir = str(tmp_path / "logs_fallback")
+  cmd = [
+      sys.executable, os.path.join(REPO, "train.py"),
+      f"--data_dir={scene['data']}",
+      f"--train_dir={train_dir}",
+      f"--config={scene['cfg']}",
+      f"--gin_file={scene['cfg']}.gin",
+      "--stage=radiance_fb",
+      "--batching=tile", "--tile_size=4", "--march_mode=tiled",
+      "--march_window=1", "--march_refetch=8",
+      "--march_oow_action=fallback",
+  ]
+  proc = subprocess.run(cmd, env=_env(), capture_output=True, text=True,
+                        timeout=900, cwd=REPO)
+  assert proc.returncode == 0, proc.stderr[-4000:]
+  out = proc.stdout + proc.stderr
+  assert "stepping down the marcher ladder" in out, out[-4000:]
+  stage_dir = os.path.join(train_dir, "radiance_fb")
+  assert any(f.startswith("checkpoint_") for f in os.listdir(stage_dir))
+
+
 def test_eval_cli_smoke(scene):
   """Eval with the radiance-stage surgery pulling the just-trained ckpt."""
   cmd = [

@@ -174,39 +174,46 @@ def test_window_calibration():
 
 
 def test_calibration_ladder_reaches_runtime_fallback_ceiling():
-  """The probe ladders reach the same w32 ceiling as ladder_step_down.
+  """The probe ladders cover the runtime fallback's terminal rungs.
 
-  Otherwise a scene needing >32-voxel coverage would calibrate to a DIRTY
-  w32 while the runtime fallback policy claims w48 exists.
+  The terminal calibration candidate is the short-refetch (32, 2) — the
+  widest window that compiles at flagship grid scale, at the shortest
+  useful reuse period; the runtime fallback must be able to land there
+  too (wider rungs are fenced when their Mosaic compile fails).
   """
   from samplenerfro_tpu.train import calibrate
-  assert calibrate.CANDIDATES[-1][0] == 48
-  assert calibrate.CANDIDATES_PALLAS[-1][0] == 48
+  assert calibrate.CANDIDATES[-1] == (32, 2)
+  assert calibrate.CANDIDATES_PALLAS[-1] == (32, 2)
+  assert max(w for w, _ in calibrate.CANDIDATES) == 48
   # Every pallas candidate must satisfy the kernel's alignment rule
   # (window + 8 divisible by 8 <=> window % 8 == 0).
   assert all(w % 8 == 0 for w, _ in calibrate.CANDIDATES_PALLAS)
 
 
-def test_ladder_step_down_policy():
-  """--march_oow_action=fallback walks refetch-halving -> widening -> scan."""
+def test_fallback_rungs_policy():
+  """--march_oow_action=fallback: refetch-halving -> widening -> r2 tier.
+
+  Every rung strictly increases drift coverage (window/refetch) over the
+  starting pair, the walk ends with the descending-width refetch-2 tier
+  (so a fenced 512^3-infeasible wide window still leaves the feasible
+  (32, 2) terminal rung), and no rung repeats.
+  """
   from samplenerfro_tpu.train import calibrate
 
-  # Full walk from the production (24, 8) rung.
-  assert calibrate.ladder_step_down(24, 8) == ("halve_refetch", 24, 4)
-  assert calibrate.ladder_step_down(24, 4) == ("widen_window", 32, 8)
-  assert calibrate.ladder_step_down(32, 8) == ("halve_refetch", 32, 4)
-  assert calibrate.ladder_step_down(32, 4) == ("widen_window", 40, 8)
-  assert calibrate.ladder_step_down(48, 4) == ("scan", 48, 4)
-  # Widening never overshoots the cap.
-  assert calibrate.ladder_step_down(44, 4) == ("widen_window", 48, 8)
-  # The small-window start has the longest runway.
-  w, r, hops = 8, 8, 0
-  while True:
-    action, w, r = calibrate.ladder_step_down(w, r)
-    hops += 1
-    if action == "scan":
-      break
-  assert hops == 12, hops
+  rungs = calibrate.fallback_rungs(24, 8)
+  assert rungs[0] == (24, 4)           # halve refetch before widening
+  assert rungs[-1] == (32, 2)          # terminal feasible rung
+  assert (48, 2) in rungs and (40, 2) in rungs
+  assert len(set(rungs)) == len(rungs)
+  assert all(w / r > 24 / 8 for w, r in rungs)
+
+  # Widening never overshoots the 48-voxel cap.
+  assert all(w <= 48 for w, _ in calibrate.fallback_rungs(8, 8))
+  # From the terminal calibration rung only wider r2 rungs remain (all
+  # 512^3-infeasible -> the caller falls back to scan after fencing).
+  assert calibrate.fallback_rungs(32, 2) == [(48, 2), (40, 2)]
+  # From the widest r4 rung the r2 tier is the whole runway.
+  assert calibrate.fallback_rungs(48, 4) == [(48, 2), (40, 2), (32, 2)]
 
 
 def test_calibration_filters_by_reverse_kernel_support(monkeypatch):

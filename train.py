@@ -252,19 +252,32 @@ def main(unused_argv):
               "--march_window=0 (auto-calibrate), or --march_mode=scan.")
         if FLAGS.march_oow_action == "fallback":
           # Step DOWN the marcher ladder instead of cliff-dropping to the
-          # 3x-slower scan (policy + rationale: calibrate.ladder_step_down).
+          # 3x-slower scan (policy + rationale: calibrate.fallback_rungs).
+          # Each rung is compile-probed first: a wide window can fail to
+          # COMPILE at flagship grid scale, and a failed width fences all
+          # wider rungs (both refetch variants of a failing window fail
+          # too) so the walk lands on a feasible narrower short-refetch
+          # rung instead of crashing the loop at its next step.
           from samplenerfro_tpu.train import calibrate
-          action, nwin, nref = calibrate.ladder_step_down(cur_window,
-                                                          cur_refetch)
-          if action == "halve_refetch":
-            print("WARNING: " + msg + "; halving --march_refetch to "
-                  f"{nref} (drift per window reuse halves).")
-            train_model = train_model.clone(march_refetch=nref)
-          elif action == "widen_window":
-            print("WARNING: " + msg + "; widening --march_window to "
-                  f"{nwin}.")
-            train_model = train_model.clone(march_window=nwin,
-                                            march_refetch=nref)
+          probe_vars = {"params": state.params, **grid_vars}
+          rshape = batch["rays"].origins.shape  # shape only, no fetch
+          if K > 1:
+            rshape = rshape[1:]  # drop the stacked-dispatch axis
+          chosen, failed_w = None, None
+          for nwin, nref in calibrate.fallback_rungs(cur_window,
+                                                     cur_refetch):
+            if failed_w is not None and nwin >= failed_w:
+              continue
+            cand = train_model.clone(march_window=nwin, march_refetch=nref)
+            if calibrate.probe_compilable(cand, probe_vars, rshape):
+              chosen = (nwin, nref)
+              break
+            failed_w = nwin if failed_w is None else min(failed_w, nwin)
+          if chosen is not None:
+            print("WARNING: " + msg + "; stepping down the marcher ladder "
+                  f"to window={chosen[0]}, refetch={chosen[1]}.")
+            train_model = train_model.clone(march_window=chosen[0],
+                                            march_refetch=chosen[1])
           else:
             print("WARNING: " + msg + "; falling back to the exact scan "
                   "marcher for the rest of training.")
