@@ -226,6 +226,35 @@ def main():
 
   t_resample = scan_timeit(resample_body, bins0)
 
+  # Backward split: a scan-timed grad of the full loss isolates fwd+bwd
+  # from the optimizer/dispatch tail (t_step - t_grad), and MLP fwd+bwd
+  # proxies split the backward between the MLP stacks and the rest
+  # (render/resample adjoints). The radiance-stage march is forward-only
+  # (frozen path sampler), so it has no backward share here.
+  loss_fn = step_lib.make_loss_fn(model, args)
+
+  def grad_body(o):
+    b = {**dbatch, "rays": rays._replace(origins=o)}
+    g = jax.grad(lambda p: loss_fn(p, grid_vars, k0, k0, k1, b)[0])(params)
+    leaf = jax.tree_util.tree_leaves(g)[0]
+    return o + 1e-20 * jnp.sum(leaf)
+
+  t_grad = scan_timeit(grad_body, rays.origins)
+
+  def mlp_bwd_body_for(cond):
+    def body(x):
+      def lf(p, xx):
+        raw_rgb, raw_sigma = nerf_mlp.apply({"params": p}, xx, cond)
+        return (jnp.sum(raw_rgb.astype(jnp.float32))
+                + jnp.sum(raw_sigma.astype(jnp.float32))) * 1e-6
+      g = jax.grad(lf)(cparams, x)
+      leaf = jax.tree_util.tree_leaves(g)[0]
+      return x + 1e-20 * jnp.sum(leaf)
+    return body
+
+  t_coarse_bwd = scan_timeit(mlp_bwd_body_for(vdir), coarse_in)
+  t_fine_bwd = scan_timeit(mlp_bwd_body_for(vdir_f), fine_in)
+
   # cost_analysis via freshly jitted loss/grad (make_train_step returns a
   # closure; lowering access needs the jit object).
   loss_jit = jax.jit(lambda k, s, b, g: step_lib.make_loss_fn(model, args)(
@@ -264,6 +293,16 @@ def main():
       f"{t_fine/t_step*100:.0f}% |",
       f"| full forward (model.apply) | {t_fwd*1e3:.2f} ms | "
       f"{t_fwd/t_step*100:.0f}% |",
+      f"| coarse NerfMLP fwd+bwd | {t_coarse_bwd*1e3:.2f} ms | "
+      f"{t_coarse_bwd/t_step*100:.0f}% |",
+      f"| fine NerfMLP fwd+bwd | {t_fine_bwd*1e3:.2f} ms | "
+      f"{t_fine_bwd/t_step*100:.0f}% |",
+      f"| loss fwd+bwd (jax.grad, scan-timed) | {t_grad*1e3:.2f} ms | "
+      f"{t_grad/t_step*100:.0f}% |",
+      f"| backward only (grad − forward) | {(t_grad-t_fwd)*1e3:.2f} ms | "
+      f"{(t_grad-t_fwd)/t_step*100:.0f}% |",
+      f"| optimizer + dispatch tail (step − grad) | "
+      f"{(t_step-t_grad)*1e3:.2f} ms | {(t_step-t_grad)/t_step*100:.0f}% |",
       f"| full train step (fwd+bwd+opt) | {t_step*1e3:.2f} ms | 100% |",
       "",
       f"- train_rays_per_sec: **{rays_per_sec:,.0f}**",
@@ -306,9 +345,10 @@ def main():
 
   if args_cli.trace:
     jax.profiler.start_trace(args_cli.trace)
+    s, k = state, keys
     for _ in range(3):
-      out = run_step(keys, state)
-    _sync(out)
+      s, _, k = tstep(k, s, dbatch)
+    jax.block_until_ready(s.params)
     jax.profiler.stop_trace()
     print(f"profiler trace written to {args_cli.trace}")
 
