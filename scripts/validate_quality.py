@@ -100,6 +100,9 @@ def main():
                  "batching decorrelation A/B knob)")
   p.add_argument("--tile_images", action="store_true",
                  help="sample each training tile from an independent image")
+  p.add_argument("--steps_per_dispatch", type=int, default=1,
+                 help="amortize host dispatch: K train steps per jitted "
+                 "call (checkpoint-bit-exact; tests/test_e2e_smoke.py)")
   args = p.parse_args()
   march_mode = args.march_mode or (
       "tiled" if args.batching == "tile" else "scan")
@@ -157,7 +160,8 @@ def main():
            f"--march_interp={args.march_interp}",
            f"--march_skip={args.march_skip}",
            f"--tile_stride={args.tile_stride}",
-           f"--tile_images={str(args.tile_images).lower()}"] + extra
+           f"--tile_images={str(args.tile_images).lower()}",
+           f"--steps_per_dispatch={args.steps_per_dispatch}"] + extra
     print("running", cmd_name, "...")
     proc = subprocess.run(cmd, env=env, cwd=REPO)
     if proc.returncode != 0:
@@ -191,6 +195,7 @@ def main():
              f"--march_skip={args.march_skip}",
              f"--tile_stride={args.tile_stride}",
              f"--tile_images={str(args.tile_images).lower()}",
+             f"--steps_per_dispatch={args.steps_per_dispatch}",
              f"--march_bwd_dtype={args.march_bwd_dtype}",
              f"--march_bwd_impl={args.march_bwd_impl}"] + extra
       print("running", cmd_name, "...")
