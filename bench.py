@@ -25,6 +25,19 @@ companion measurements as extra fields (BENCH_FAST=1 skips them):
   eval_rays_per_sec         chunked full-image render (the reference's
                             test_rays_per_sec, train.py:450-454)
 
+Robustness (round-5 redesign — round 4 lost a fully-measured run to a
+single end-of-run print stuck behind a stalled companion):
+  - the full JSON line is printed (flushed) the moment the HEADLINE is
+    measured and re-printed after every companion, so the driver's
+    parse-the-tail always sees everything measured so far;
+  - BENCH_TIME_BUDGET (secs, default 1100, counted once the backend is
+    up) skips remaining companions when exhausted (*_skipped_budget);
+  - calibration ladders are persisted (train/calibrate.py cache; file at
+    BENCH_CALIB_CACHE, repo seed configs/bench_calib_seed.json) and the
+    all-stage companion seeds from the headline's verified pair;
+  - BENCH_SMOKE=1 runs selfcheck + headline only at a pinned window — the
+    fast measurement-path dry-run for pre-round-end timing.
+
 Before timing, an on-device correctness gate runs the production Pallas
 kernel against the XLA tiled and reference-parity scan marchers, and the
 analytic all-stage VJP against XLA autodiff (train/selfcheck.py); the JSON
@@ -84,6 +97,8 @@ PARITY_SCAN_TPU_RAYS_PER_SEC = 16335.0
 
 BATCH = 1024
 GRID_N = int(os.environ.get("BENCH_GRID_N", "512"))
+BUDGET = float(os.environ.get("BENCH_TIME_BUDGET", "1100"))
+T_START = None  # set in main() once the backend is up
 
 
 def ship_args(**overrides):
@@ -216,7 +231,52 @@ def _build(args, grid_n):
   return model, state, grid_vars, mesh, batch
 
 
-def measure_train(args, grid_n, n_steps=20):
+# Calibration persistence (train/calibrate.py): the ladder's per-candidate
+# Mosaic compiles cost minutes through the remote relay, so verified
+# (window, refetch) picks are cached at CALIB_CACHE and SEED the next
+# run's ladder (the seed is re-probed, never trusted blindly — a stale
+# entry costs one probe). The repo-committed seed file primes a fresh
+# /tmp so even a first-boot driver bench skips the cold walk.
+CALIB_CACHE = os.environ.get("BENCH_CALIB_CACHE",
+                             "/tmp/jax_cache/snr_march_calib.json")
+CALIB_SEED_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "configs", "bench_calib_seed.json")
+
+
+def _auto_calibrate(model, state, grid_vars, args, probe_batches, grid_n,
+                    seed_pair=None, probe_kind="train"):
+  """Resolve window=0 via the cached/seeded probe ladder; returns model.
+
+  probe_kind keeps train-batch and eval-view calibrations on distinct
+  cache keys: a full view needs a wider window than the 1024-ray bench
+  batch, and a view-derived cache entry seeding the headline would make
+  the ladder accept the wider (slower) pair without ever probing the
+  faster ones.
+  """
+  from samplenerfro_tpu.train import calibrate
+  variables = {"params": state.params, **grid_vars}
+  key = calibrate.cache_key(
+      args.march_mode,
+      f"{getattr(args, 'bench_grid', 'blob')}{grid_n}-{probe_kind}",
+      np.asarray(probe_batches[0]["rays"].origins).shape,
+      tile_size=args.tile_size,
+      num_coarse_samples=args.num_coarse_samples,
+      num_path_samples=args.num_path_samples,
+      march_interp=args.march_interp, stage=args.stage,
+      bwd_impl=calibrate._resolved_bwd_impl(
+          getattr(args, "march_bwd_impl", "auto")))
+  seed = seed_pair or calibrate.load_cached_pair(
+      key, (CALIB_CACHE, CALIB_SEED_FILE))
+  (w, r), oow_by = calibrate.calibrate_march_window(
+      model, variables, probe_batches, seed_pair=seed)
+  if oow_by.get((w, r)) == 0:
+    calibrate.store_cached_pair(key, (w, r), CALIB_CACHE)
+  model = model.clone(march_window=w, march_refetch=r)
+  args.march_window, args.march_refetch = w, r
+  return model
+
+
+def measure_train(args, grid_n, n_steps=20, seed_pair=None):
   """(rays/s, info) of the full train step for one configuration.
 
   march_window == 0 auto-calibrates the (window, refetch) pair on the
@@ -228,13 +288,11 @@ def measure_train(args, grid_n, n_steps=20):
   model, state, grid_vars, mesh, batch = _build(args, grid_n)
   info = {}
   if args.march_mode in ("tiled", "pallas") and args.march_window == 0:
-    from samplenerfro_tpu.train import calibrate
-    variables = {"params": state.params, **grid_vars}
-    (w, r), oow_by = calibrate.calibrate_march_window(
-        model, variables, [{"rays": batch["rays"]}])
-    model = model.clone(march_window=w, march_refetch=r)
-    args.march_window, args.march_refetch = w, r
-    info["march_window"], info["march_refetch"] = w, r
+    model = _auto_calibrate(model, state, grid_vars, args,
+                            [{"rays": batch["rays"]}], grid_n,
+                            seed_pair=seed_pair)
+    info["march_window"] = args.march_window
+    info["march_refetch"] = args.march_refetch
   tstep = step_lib.make_train_step(model, args, grid_vars)
   dbatch = mesh_lib.put_batch(batch, mesh)
   keys = random.PRNGKey(1)
@@ -266,12 +324,8 @@ def measure_train_loop(args, grid_n, k=1, n_steps=40):
   from samplenerfro_tpu.data import prefetch as prefetch_lib
   model, state, grid_vars, mesh, batch = _build(args, grid_n)
   if args.march_mode in ("tiled", "pallas") and args.march_window == 0:
-    from samplenerfro_tpu.train import calibrate
-    variables = {"params": state.params, **grid_vars}
-    (w, r), _ = calibrate.calibrate_march_window(
-        model, variables, [{"rays": batch["rays"]}])
-    model = model.clone(march_window=w, march_refetch=r)
-    args.march_window, args.march_refetch = w, r
+    model = _auto_calibrate(model, state, grid_vars, args,
+                            [{"rays": batch["rays"]}], grid_n)
   make = (step_lib.make_train_step_multi if k > 1
           else step_lib.make_train_step)
   tstep = make(model, args, grid_vars)
@@ -310,12 +364,10 @@ def measure_eval(args, grid_n, res=800, chunk=8192):
   model, state, grid_vars, mesh, _ = _build(args, grid_n)
   if args.march_mode in ("tiled", "pallas") and args.march_window == 0:
     from samplenerfro_tpu.train import calibrate
-    variables = {"params": state.params, **grid_vars}
     probe = calibrate.probe_batches_from_view(
         camera_rays(res), args.tile_size, BATCH)
-    (w, r), _ = calibrate.calibrate_march_window(model, variables, probe)
-    model = model.clone(march_window=w, march_refetch=r)
-    args.march_window, args.march_refetch = w, r
+    model = _auto_calibrate(model, state, grid_vars, args, probe, grid_n,
+                            probe_kind=f"eval{res}")
   render_fn = step_lib.make_render_fn(model, args, grid_vars, mesh=mesh)
   # BENCH_EVAL_CPD > 1: render that many chunks per jitted dispatch
   # (lax.map grouping, bit-identical; see utils/render.py).
@@ -424,8 +476,14 @@ def wait_for_backend():
 
 
 def main():
+  global T_START
   record = {}
   wait_for_backend()
+  # Measurement wall-clock budget (secs, counted from after the backend
+  # probe): once exhausted, remaining companions are SKIPPED (recorded as
+  # *_skipped_budget) so the run always finishes inside the driver's
+  # timeout with everything measured so far on its last JSON line.
+  T_START = time.monotonic()
 
   if os.environ.get("BENCH_CHECK", "1") != "0":
     # On-device correctness gate (see module docstring): raises on
@@ -455,7 +513,16 @@ def main():
   if os.environ.get("BENCH_MODE", "train") == "eval":
     res = int(os.environ.get("BENCH_EVAL_RES", "800"))
     chunk = int(os.environ.get("BENCH_EVAL_CHUNK", "8192"))
-    args = production_args()
+    # BENCH_EVAL_GRID=scene renders the production-representative grid
+    # (compact object, exact ambient free space — like voxelized scenes);
+    # the default blob is the refraction stress grid (IOR varies
+    # everywhere, most view bundles outdrift every feasible window).
+    args = production_args(
+        bench_grid=os.environ.get("BENCH_EVAL_GRID", "blob"),
+        march_skip=os.environ.get(
+            "BENCH_MARCH_SKIP",
+            "uniform" if os.environ.get("BENCH_EVAL_GRID") == "scene"
+            else "off"))
     rays_per_sec, dt, eval_oow = measure_eval(args, GRID_N, res=res,
                                               chunk=chunk)
     print(json.dumps({
@@ -474,6 +541,11 @@ def main():
   # (differentiable march via the analytic reverse sweep).
   stage = ("all_bench" if os.environ.get("BENCH_STAGE") == "all"
            else "radiance_bench")
+  smoke = os.environ.get("BENCH_SMOKE", "0") == "1"
+  if smoke and "BENCH_MARCH_WINDOW" not in os.environ:
+    # Smoke mode: selfcheck + headline only at a PINNED window — the
+    # measurement-path dry-run (no calibration ladder, no companions).
+    os.environ["BENCH_MARCH_WINDOW"] = "24"
   args = production_args(stage=stage)
   value, info = measure_train(args, GRID_N)
   record.update(info)
@@ -488,11 +560,54 @@ def main():
     parity_prov = "re-measured this run (BENCH_REMEASURE_PARITY=1)"
     record["parity_scan_tpu_rays_per_sec"] = round(parity, 1)
 
-  def companion(name, args_c, grid_n):
+  def emit():
+    # One full JSON line per completed measurement stage, flushed: the
+    # driver parses the LAST parseable line of the tail, so the headline
+    # (and every companion measured so far) survives a timeout/crash in a
+    # later companion. Round 4 lost an entire measured run to a single
+    # end-of-run print behind a stalled calibration ladder.
+    print(json.dumps({
+        "metric": "train_rays_per_sec",
+        "value": round(value, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(value / REFERENCE_3090_RAYS_PER_SEC, 3),
+        "baseline_provenance": "RTX-3090 estimate (no published numbers)",
+        "vs_parity_scan_tpu": round(value / parity, 3),
+        "parity_provenance": parity_prov,
+        "march_mode": args.march_mode,
+        "march_interp": args.march_interp,
+        "march_emit": args.march_emit,
+        "march_epilogue": os.environ.get("MARCH_EPILOGUE", "xla"),
+        "mlp_dtype": args.mlp_dtype,
+        "mlp_kernel": args.mlp_kernel,
+        "stage": args.stage,
+        "grid_n": GRID_N,
+        **({"march_bwd_impl": os.environ.get("EIKVJP_IMPL", "pallas"),
+            "march_bwd_pack": os.environ.get("MARCH_BWD_PACK", "mxu"),
+            "march_bwd_dtype": args.march_bwd_dtype}
+           if stage == "all_bench" else {}),
+        "elapsed_secs": round(time.monotonic() - T_START, 1),
+        **record,
+    }), flush=True)
+
+  emit()  # the headline is now unlosable
+
+  def over_budget(name):
+    left = BUDGET - (time.monotonic() - T_START)
+    if left > 0:
+      return False
+    record[f"{name}_skipped_budget"] = True
+    print(f"bench.py: skipping {name} (BENCH_TIME_BUDGET={BUDGET:.0f}s "
+          "exhausted)", file=sys.stderr)
+    return True
+
+  def companion(name, args_c, grid_n, seed_pair=None):
     # A companion failure (e.g. a TPU-tunnel flake mid-run) must not cost
     # the headline measurement already taken: record the error instead.
+    if over_budget(name):
+      return
     try:
-      rays, inf = measure_train(args_c, grid_n)
+      rays, inf = measure_train(args_c, grid_n, seed_pair=seed_pair)
     except Exception as e:  # noqa: BLE001
       record[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
       return
@@ -502,13 +617,38 @@ def main():
         record[f"{name}_{k.split('_')[1]}"] = inf[k]
     if not inf.get("march_exact", True):
       record[f"{name}_march_oow"] = inf["march_oow"]
+    emit()
 
-  if os.environ.get("BENCH_FAST", "0") != "1" and stage == "radiance_bench":
-    # Companion measurements for the record (see module docstring).
+  fast = smoke or os.environ.get("BENCH_FAST", "0") == "1"
+  if not fast and stage == "radiance_bench":
+    # Companion measurements for the record (see module docstring),
+    # most-load-bearing first (the wall-clock budget trims from the tail).
+    # The all-stage run seeds its restricted calibration ladder with the
+    # headline's verified pair (same batch, same grid — round 4 timed out
+    # walking this ladder cold from (8, 8)).
+    headline_pair = (record.get("march_window"), record.get("march_refetch"))
+    companion("all_stage", production_args(stage="all_bench"), GRID_N,
+              seed_pair=(headline_pair if headline_pair[0] else None))
+    # Two eval workloads: the production-representative scene grid
+    # (compact object, exact ambient outside — voxelized-scene-like, with
+    # the free-space skip) and the blob stress grid (IOR varies
+    # everywhere; most 800² view bundles outdrift every feasible window,
+    # so its honest exact number rides the (32, 2)/repair floor).
+    for name, grid_kind, skip in (("eval_scene", "scene", "uniform"),
+                                  ("eval", "blob", "off")):
+      if over_budget(name):
+        continue
+      try:
+        eval_rps, _, eval_oow = measure_eval(
+            production_args(bench_grid=grid_kind, march_skip=skip), GRID_N)
+        record[f"{name}_rays_per_sec"] = round(eval_rps, 1)
+        record[f"{name}_march_oow"] = eval_oow
+        record[f"{name}_exact"] = eval_oow == 0
+      except Exception as e:  # noqa: BLE001
+        record[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+      emit()
     if GRID_N != 128:
       companion("grid128", production_args(), 128)
-    companion("grid384_s24", production_args(num_path_samples=24), 384)
-    companion("all_stage", production_args(stage="all_bench"), GRID_N)
     # Free-space-skip A/B on the scene-like grid (exact ambient outside
     # the object, like production voxelized grids — the headline blob has
     # no uniform bricks, see scene_grid). The skip run pins the off run's
@@ -518,18 +658,14 @@ def main():
         bench_grid="scene", march_skip="uniform",
         window=record.get("scene_off_window", 0),
         march_refetch=record.get("scene_off_refetch", 8)), GRID_N)
-    try:
-      eval_rps, _, eval_oow = measure_eval(production_args(), GRID_N)
-      record["eval_rays_per_sec"] = round(eval_rps, 1)
-      record["eval_march_oow"] = eval_oow
-      record["eval_exact"] = eval_oow == 0
-    except Exception as e:  # noqa: BLE001
-      record["eval_error"] = f"{type(e).__name__}: {e}"[:200]
+    companion("grid384_s24", production_args(num_path_samples=24), 384)
     # Production train-LOOP throughput (fresh batch per step through the
     # prefetch): k=1 is the single-step-dispatch loop, k=10 the
     # --steps_per_dispatch=10 loop. args carries the headline run's
     # calibrated window, so no re-calibration.
     for k in (1, 10):
+      if over_budget(f"inloop_k{k}"):
+        continue
       try:
         record[f"inloop_k{k}_rays_per_sec"] = round(
             measure_train_loop(production_args(
@@ -537,29 +673,9 @@ def main():
                 march_refetch=args.march_refetch), GRID_N, k=k), 1)
       except Exception as e:  # noqa: BLE001
         record[f"inloop_k{k}_error"] = f"{type(e).__name__}: {e}"[:200]
+      emit()
 
-  print(json.dumps({
-      "metric": "train_rays_per_sec",
-      "value": round(value, 1),
-      "unit": "rays/s",
-      "vs_baseline": round(value / REFERENCE_3090_RAYS_PER_SEC, 3),
-      "baseline_provenance": "RTX-3090 estimate (no published numbers)",
-      "vs_parity_scan_tpu": round(value / parity, 3),
-      "parity_provenance": parity_prov,
-      "march_mode": args.march_mode,
-      "march_interp": args.march_interp,
-      "march_emit": args.march_emit,
-      "march_epilogue": os.environ.get("MARCH_EPILOGUE", "xla"),
-      "mlp_dtype": args.mlp_dtype,
-      "mlp_kernel": args.mlp_kernel,
-      "stage": args.stage,
-      "grid_n": GRID_N,
-      **({"march_bwd_impl": os.environ.get("EIKVJP_IMPL", "pallas"),
-          "march_bwd_pack": os.environ.get("MARCH_BWD_PACK", "mxu"),
-          "march_bwd_dtype": args.march_bwd_dtype}
-         if stage == "all_bench" else {}),
-      **record,
-  }))
+  emit()
 
 
 if __name__ == "__main__":

@@ -58,10 +58,14 @@ def main(unused_argv):
 
   if FLAGS.march_mode in ("tiled", "pallas") and FLAGS.march_window == 0:
     from samplenerfro_tpu.train import calibrate
+    calib_path = path.join(FLAGS.train_dir, "march_calib.json")
+    io_lib.makedirs(FLAGS.train_dir)
     model, FLAGS.march_window, FLAGS.march_refetch = calibrate.maybe_autocalibrate(
         model, variables, FLAGS,
         calibrate.probe_batches_from_view(
-            dataset.peek()["rays"], FLAGS.tile_size, FLAGS.batch_size))
+            dataset.peek()["rays"], FLAGS.tile_size, FLAGS.batch_size),
+        cache_paths=(calib_path,), store_path=calib_path,
+        grid_tag=calibrate.grid_content_tag(grid), probe_kind="view")
 
   mesh = mesh_lib.make_mesh()
   grid_vars = {"grid": mesh_lib.replicate(dict(variables["grid"]), mesh)}

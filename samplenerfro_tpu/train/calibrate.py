@@ -9,6 +9,9 @@ with zero out-of-window clamps, so drivers can default to "fast but exact"
 without hand-tuning.
 """
 
+import json
+import os
+
 import jax
 import numpy as np
 
@@ -47,19 +50,129 @@ def probe_batches_from_view(rays, tile_size, batch_size):
           for s in starts]
 
 
-def maybe_autocalibrate(model, variables, flags, probe_batches):
+# ---------------------------------------------------------------------------
+# Calibration persistence. The ladder walk costs one Mosaic compile per
+# probed candidate (minutes through the remote relay when cold), and the
+# chosen (window, refetch) is a pure function of scene geometry + batch
+# shape + marcher config — so drivers persist it and SEED the next run's
+# ladder with the cached pair. The seed is never trusted blindly: it is
+# probed first (one compile, zero-oow verified on the same probe batches),
+# so a stale cache costs one probe, not correctness. Keys are caller-built
+# strings (see cache_key); values record the pair + provenance.
+# ---------------------------------------------------------------------------
+
+CACHE_VERSION = "v1"
+
+
+def cache_key(march_mode, grid_tag, batch_shape, *, tile_size,
+              num_coarse_samples, num_path_samples, march_interp="highest",
+              stage="", bwd_impl=""):
+  """Stable string key for a calibration result.
+
+  grid_tag identifies the IOR grid CONTENT (a content hash for real
+  scenes — grid_content_tag — or a synthetic-grid name for bench grids);
+  the rest are the knobs the chosen (window, refetch) depends on:
+  trajectory geometry (samples, interp precision), probe bundle shape,
+  and the candidate-ladder restriction (all-stage + pallas bwd).
+  """
+  restrict = stage.split("_")[0] if stage.startswith("all") else ""
+  return "|".join([
+      CACHE_VERSION, march_mode, str(grid_tag),
+      "x".join(str(s) for s in tuple(batch_shape)), f"t{tile_size}",
+      f"c{num_coarse_samples}", f"p{num_path_samples}", march_interp,
+      restrict, bwd_impl if restrict else ""])
+
+
+def grid_content_tag(grid_vals):
+  """Cheap content hash of a host-side IOR grid array."""
+  import hashlib
+  a = np.ascontiguousarray(np.asarray(grid_vals))
+  h = hashlib.md5()
+  h.update(str(a.shape).encode())
+  h.update(a[:: max(1, a.size // (1 << 20))].tobytes())  # ~1M-elem stride
+  h.update(np.asarray([a.sum(dtype=np.float64)]).tobytes())
+  return h.hexdigest()[:16]
+
+
+def load_cached_pair(key, paths):
+  """First cached (window, refetch) for key across cache files, or None."""
+  for path in paths:
+    if not path:
+      continue
+    try:
+      with open(path) as f:
+        entry = json.load(f).get(key)
+    except (OSError, ValueError):
+      continue
+    if entry:
+      return int(entry["window"]), int(entry["refetch"])
+  return None
+
+
+def store_cached_pair(key, pair, path, extra=None):
+  """Record a verified calibration result (best-effort, non-fatal)."""
+  if not path:
+    return
+  try:
+    try:
+      with open(path) as f:
+        data = json.load(f)
+    except (OSError, ValueError):
+      data = {}
+    data[key] = {"window": int(pair[0]), "refetch": int(pair[1]),
+                 **(extra or {})}
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+      json.dump(data, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+  except OSError as e:
+    print(f"march calibration cache: could not write {path}: {e}")
+
+
+def maybe_autocalibrate(model, variables, flags, probe_batches,
+                        cache_paths=(), store_path=None, grid_tag=None,
+                        probe_kind="train"):
   """Resolve --march_window=0 to a measured (window, refetch).
 
   Returns (model, window, refetch). No-op (returns the model unchanged and
   the configured values) unless the marcher is windowed and the window is 0.
+
+  When grid_tag is given, a persisted calibration (cache_paths, searched in
+  order) SEEDS the probe ladder — a clean cached pair short-circuits the
+  walk at one verification probe — and a verified result is written to
+  store_path, so repeat runs (resume, eval, the next bench) skip the
+  ladder's per-candidate Mosaic compiles. probe_kind keys training-batch
+  probes apart from full-view probes (a view needs a wider window; its
+  cached pair seeding a train run would be accepted without probing the
+  faster narrower candidates first).
   """
   if flags.march_mode not in ("tiled", "pallas") or flags.march_window != 0:
     return model, flags.march_window, flags.march_refetch
   probe_model = model.clone(march_window=16)
+  seed = key = None
+  if grid_tag is not None and probe_batches:
+    key = cache_key(
+        flags.march_mode, f"{grid_tag}-{probe_kind}",
+        np.asarray(probe_batches[0]["rays"].origins).shape,
+        tile_size=flags.tile_size,
+        num_coarse_samples=flags.num_coarse_samples,
+        num_path_samples=flags.num_path_samples,
+        march_interp=getattr(flags, "march_interp", "highest"),
+        stage=getattr(flags, "stage", ""),
+        bwd_impl=_resolved_bwd_impl(getattr(flags, "march_bwd_impl",
+                                            "auto")))
+    seed = load_cached_pair(key, cache_paths)
+    if seed:
+      print(f"march window calibration: loaded cached pair {seed} "
+            "(verifying with one probe)")
   (window, refetch), oow_by_cand = calibrate_march_window(
-      probe_model, variables, probe_batches)
+      probe_model, variables, probe_batches, seed_pair=seed)
   print(f"march window auto-calibration: {oow_by_cand} "
         f"-> window={window} refetch={refetch}")
+  if key is not None and store_path and oow_by_cand.get(
+      (window, refetch)) == 0:
+    store_cached_pair(key, (window, refetch), store_path)
   return (model.clone(march_window=window, march_refetch=refetch), window,
           refetch)
 
@@ -164,7 +277,7 @@ def probe_compilable(model, variables, rays_shape):
 
 
 def calibrate_march_window(model, variables, batches, candidates=None,
-                           annealed_alpha=1.0):
+                           annealed_alpha=1.0, seed_pair=None):
   """Pick the fastest (window, refetch) with zero violations on probes.
 
   Args:
@@ -173,6 +286,12 @@ def calibrate_march_window(model, variables, batches, candidates=None,
     batches: iterable of training batches (dicts with "rays").
     candidates: (window, refetch) pairs in descending expected speed.
     annealed_alpha: PE annealing value to probe with.
+    seed_pair: optional (window, refetch) to probe FIRST (a cached or
+      headline-run result); probed like any candidate — a clean seed
+      short-circuits the ladder at one probe, a dirty/stale one costs
+      one probe and the walk continues. Ignored unless it is a valid
+      candidate for this marcher (so a stale cache can never select a
+      pair the kernel does not support).
 
   Returns:
     ((window, refetch), per_candidate_oow dict). Falls back to the last
@@ -202,6 +321,16 @@ def calibrate_march_window(model, variables, batches, candidates=None,
       print("march window calibration: restricting to reverse-kernel-"
             f"supported candidates {bwd_ok}")
       candidates = bwd_ok
+  if seed_pair is not None:
+    seed = (int(seed_pair[0]), int(seed_pair[1]))
+    cand_list = list(candidates)
+    if seed in cand_list:
+      cand_list.remove(seed)
+      candidates = [seed] + cand_list
+      print(f"march window calibration: probing seed pair {seed} first")
+    else:
+      print(f"march window calibration: seed pair {seed} is not a valid "
+            "candidate here; walking the ladder")
   results = {}
   failed_window = None  # narrowest window whose kernel failed to compile
   for window, refetch in candidates:

@@ -124,6 +124,9 @@ def main():
   parser.add_argument("--march_interp", default="default",
                       help="fused-march interp precision (production: "
                       "single-pass bf16 'default'; 'highest' = fp32-exact)")
+  parser.add_argument("--march_emit", default="lean",
+                      help="march trajectory emission (production: 'lean' "
+                      "7-channel + in-kernel subsample; 'full' = dense)")
   parser.add_argument("--window", type=int, default=24)
   parser.add_argument("--grid_n", type=int, default=512)
   parser.add_argument("--iters", type=int, default=10)
@@ -136,7 +139,8 @@ def main():
   args = bench.ship_args(march_mode=args_cli.march_mode, tile_size=16,
                          march_window=args_cli.window, march_refetch=8,
                          mlp_dtype=args_cli.mlp_dtype,
-                         march_interp=args_cli.march_interp)
+                         march_interp=args_cli.march_interp,
+                         march_emit=args_cli.march_emit)
   grid = bench.blob_grid(args_cli.grid_n)
   batch = bench.make_inputs(bench.BATCH, tiled=True)
   model, variables = construct_nerf(
@@ -277,7 +281,8 @@ def main():
       f"(batch 1024 rays, 64x12=768 march steps, 64 coarse + 128 fine "
       f"samples, 8x256 MLPs ({args_cli.mlp_dtype}), {args_cli.grid_n}^3 "
       f"grid, march_mode={args_cli.march_mode}, window={args_cli.window}, "
-      f"march_interp={args_cli.march_interp}).",
+      f"march_interp={args_cli.march_interp}, "
+      f"march_emit={args_cli.march_emit}).",
       "All numbers measured on this device (no estimates); generated by "
       "scripts/perf_report.py.",
       "",

@@ -193,3 +193,82 @@ def test_all_stage_cli_smoke(scene):
   assert proc.returncode == 0, proc.stderr[-4000:]
   out_dir = os.path.join(scene["train"], "all", "test_preds")
   assert os.path.exists(os.path.join(out_dir, "psnr.txt"))
+
+
+def test_opencv_real_pipeline_rehearsal(tmp_path):
+  """The real-capture flow end-to-end (reference README.md:119-184).
+
+  Synthesizes a calibrated OpenCV capture (images + masks + calib.json),
+  carves the visual hull from the masks (calib/make_visual_hull.py), uses
+  the hull mesh.pkl as the scene's IOR proxy, trains the radiance stage on
+  the OpenCV dataset with the real-scene bd_cut double render active
+  (rnerf/models.py:479-524, datasets.py:426-518), and evals one view —
+  the seam the Blender-format smoke never crosses.
+  """
+  import importlib
+  import pickle
+  import shutil
+
+  data_dir = fixtures.make_opencv_scene(str(tmp_path / "capture"))
+  cfg_base = fixtures.write_opencv_config(str(tmp_path / "cfg"))
+  train_dir = str(tmp_path / "logs")
+
+  # 1) Visual hull from calib.json + masks (in-process, patched cfg —
+  #    the tool's config module is a file the capture session edits).
+  sys.path.insert(0, os.path.join(REPO, "calib"))
+  try:
+    import cfg as hull_cfg
+    mvh = importlib.import_module("make_visual_hull")
+    importlib.reload(mvh)
+    hull_cfg.root = data_dir
+    hull_cfg.num_voxels = 16
+    hull_cfg.min_point = np.array([-0.8, 0.2, -0.8])
+    hull_cfg.max_point = np.array([0.8, 1.8, 0.8])
+    hull_cfg.threshold = 0.9
+    mvh.cfg = hull_cfg
+    mvh.main()
+  finally:
+    sys.path.pop(0)
+
+  hull_dir = os.path.join(data_dir, "hull")
+  os.makedirs(hull_dir)
+  shutil.move(os.path.join(data_dir, "mesh.pkl"),
+              os.path.join(hull_dir, "mesh.pkl"))
+  with open(os.path.join(hull_dir, "mesh.pkl"), "rb") as f:
+    hull = pickle.load(f)
+  occ = np.asarray(hull["data"]).reshape(16, 16, 16)
+  assert occ[8, 8, 8] > 1.3     # ball center carved as inside
+  assert occ[0, 0, 0] == 1.0    # corner is free space
+
+  # 2) Train the radiance stage on the OpenCV dataset + hull proxy.
+  cmd = [
+      sys.executable, os.path.join(REPO, "train.py"),
+      f"--data_dir={data_dir}",
+      f"--train_dir={train_dir}",
+      f"--config={cfg_base}",
+      f"--gin_file={cfg_base}.gin",
+      "--stage=radiance_cv",
+  ]
+  proc = subprocess.run(cmd, env=_env(), capture_output=True, text=True,
+                        timeout=900, cwd=REPO)
+  assert proc.returncode == 0, proc.stderr[-4000:]
+  stage_dir = os.path.join(train_dir, "radiance_cv")
+  assert any(f.startswith("checkpoint_") for f in os.listdir(stage_dir))
+
+  # 3) Eval one test view through the same bd_cut render path.
+  cmd = [
+      sys.executable, os.path.join(REPO, "eval.py"),
+      f"--data_dir={data_dir}",
+      f"--train_dir={train_dir}",
+      f"--config={cfg_base}",
+      f"--gin_file={cfg_base}.gin",
+      "--stage=radiance_cv",
+      "--gin_param=Config.radiance_weight_name='radiance_cv'",
+      "--eval_once=True",
+  ]
+  proc = subprocess.run(cmd, env=_env(), capture_output=True, text=True,
+                        timeout=900, cwd=REPO)
+  assert proc.returncode == 0, proc.stderr[-4000:]
+  out_dir = os.path.join(train_dir, "radiance_cv", "test_preds")
+  psnr = float(open(os.path.join(out_dir, "psnr.txt")).read())
+  assert np.isfinite(psnr)

@@ -332,3 +332,128 @@ def test_probe_batches_cover_whole_view():
     # All chunks share one shape => one compiled probe per candidate.
     sizes = {b["rays"].origins.shape[0] for b in batches}
     assert len(sizes) == 1 and next(iter(sizes)) % tile**2 == 0
+
+
+class _LadderModel:
+  """Fake marcher whose oow is clean iff window/refetch covers `need`."""
+
+  march_mode = "pallas"
+  stage = "radiance"
+  march_bwd_impl = "auto"
+
+  def __init__(self, need=3.0, window=0, refetch=1, log=None):
+    self.need, self.march_window, self.march_refetch = need, window, refetch
+    self.log = log if log is not None else []
+
+  def clone(self, march_window, march_refetch=None):
+    return _LadderModel(
+        self.need, march_window,
+        self.march_refetch if march_refetch is None else march_refetch,
+        self.log)
+
+  def apply(self, variables, origins, viewdirs, alpha, method=None,
+            mutable=None):
+    self.log.append((self.march_window, self.march_refetch))
+    dirty = self.march_window / self.march_refetch < self.need
+    return None, {"diagnostics": {"path_sampler": {
+        "march_oow": jnp.int32(1 if dirty else 0)}}}
+
+
+def _probe_rays(n=16):
+  from samplenerfro_tpu.data.rays import Rays
+  return Rays(origins=np.zeros((n, 3), np.float32),
+              directions=np.ones((n, 3), np.float32),
+              viewdirs=np.ones((n, 3), np.float32),
+              radii=np.ones((n, 1), np.float32))
+
+
+def test_calibration_seed_pair_short_circuits_ladder():
+  """A clean seed pair is probed FIRST and ends the walk at one probe."""
+  from samplenerfro_tpu.train import calibrate
+
+  cands = ((8, 8), (16, 8), (24, 8), (32, 8))
+  model = _LadderModel(need=3.0)
+  chosen, results = calibrate.calibrate_march_window(
+      model, {}, [{"rays": _probe_rays()}], candidates=cands,
+      seed_pair=(24, 8))
+  assert chosen == (24, 8)
+  assert model.log == [(24, 8)], model.log  # exactly one probe
+
+  # A DIRTY seed costs one probe, then the normal walk resumes and the
+  # fastest clean candidate still wins (a stale cache cannot mis-pick).
+  model2 = _LadderModel(need=2.5)
+  chosen2, _ = calibrate.calibrate_march_window(
+      model2, {}, [{"rays": _probe_rays()}], candidates=cands,
+      seed_pair=(16, 8))
+  assert model2.log[0] == (16, 8)
+  assert chosen2 == (24, 8)
+
+  # A seed that is NOT a valid candidate for this marcher is ignored.
+  model3 = _LadderModel(need=3.0)
+  chosen3, _ = calibrate.calibrate_march_window(
+      model3, {}, [{"rays": _probe_rays()}], candidates=cands,
+      seed_pair=(12, 8))
+  assert model3.log[0] == (8, 8) and chosen3 == (24, 8)
+
+
+def test_calibration_cache_roundtrip(tmp_path):
+  from samplenerfro_tpu.train import calibrate
+
+  key = calibrate.cache_key("pallas", "abcd1234", (1024, 3), tile_size=16,
+                            num_coarse_samples=64, num_path_samples=12,
+                            march_interp="default")
+  primary = str(tmp_path / "calib.json")
+  seedfile = str(tmp_path / "seed.json")
+  assert calibrate.load_cached_pair(key, (primary, seedfile)) is None
+  calibrate.store_cached_pair(key, (24, 8), seedfile)
+  assert calibrate.load_cached_pair(key, (primary, seedfile)) == (24, 8)
+  # The first cache file in order wins; others are fallbacks.
+  calibrate.store_cached_pair(key, (16, 4), primary)
+  assert calibrate.load_cached_pair(key, (primary, seedfile)) == (16, 4)
+  # Unreadable/corrupt files are skipped, not fatal.
+  (tmp_path / "junk.json").write_text("{not json")
+  assert calibrate.load_cached_pair(
+      key, (str(tmp_path / "junk.json"), seedfile)) == (24, 8)
+  # Distinct keys don't collide (grid content / probe kind / interp).
+  other = calibrate.cache_key("pallas", "abcd1234", (1024, 3), tile_size=16,
+                              num_coarse_samples=64, num_path_samples=12,
+                              march_interp="highest")
+  assert calibrate.load_cached_pair(other, (primary, seedfile)) is None
+
+
+def test_maybe_autocalibrate_persists_and_reloads(tmp_path):
+  """Run 2 with the same cache file verifies the cached pair in ONE probe."""
+  import types
+
+  from samplenerfro_tpu.train import calibrate
+
+  flags = types.SimpleNamespace(
+      march_mode="pallas", march_window=0, march_refetch=8, tile_size=16,
+      num_coarse_samples=64, num_path_samples=12, march_interp="default",
+      stage="radiance", march_bwd_impl="auto")
+  path = str(tmp_path / "march_calib.json")
+  batches = [{"rays": _probe_rays()}]
+  cands = calibrate.CANDIDATES_PALLAS
+
+  # First clean candidate on the real pallas ladder for need=3.0.
+  expect = next(c for c in cands if c[0] / c[1] >= 3.0)
+  model = _LadderModel(need=3.0, window=16)
+  _, w, r = calibrate.maybe_autocalibrate(
+      model, {}, flags, batches, cache_paths=(path,), store_path=path,
+      grid_tag="tag1")
+  assert (w, r) == expect
+  assert len(model.log) == cands.index(expect) + 1  # full walk
+
+  model2 = _LadderModel(need=3.0, window=16)
+  _, w2, r2 = calibrate.maybe_autocalibrate(
+      model2, {}, flags, batches, cache_paths=(path,), store_path=path,
+      grid_tag="tag1")
+  assert (w2, r2) == expect
+  assert model2.log == [expect]  # cache-seeded: one verification probe
+
+  # A different grid hash invalidates the cache (full walk again).
+  model3 = _LadderModel(need=3.0, window=16)
+  calibrate.maybe_autocalibrate(
+      model3, {}, flags, batches, cache_paths=(path,), store_path=path,
+      grid_tag="tag2")
+  assert len(model3.log) == cands.index(expect) + 1

@@ -162,3 +162,43 @@ def test_lpips_torch_identity_and_spatial(tmp_path):
 def test_lpips_missing_weights_returns_none(tmp_path):
   import lpips_torch
   assert lpips_torch.load_lpips(path=str(tmp_path / "absent.pth")) is None
+
+
+def test_lpips_real_weights_end_to_end():
+  """Validates the CALIBRATED metric the moment a real weight file exists.
+
+  This zero-egress box cannot produce lpips_alex.pth (the reference's
+  metric/summary.py:115-117 downloads it at import); the converter
+  (scripts/convert_lpips_weights.py) runs on any machine with egress.
+  Skipped-not-failed until then — drop the file at $LPIPS_WEIGHTS (or
+  metric/weights/lpips_alex.pth) and this test certifies the published
+  AlexNet-LPIPS behaviors end-to-end with no new work.
+  """
+  import lpips_torch
+  wpath = lpips_torch.default_weight_path()
+  if not os.path.exists(wpath):
+    pytest.skip(f"no real LPIPS weight file at {wpath} "
+                "(zero-egress; see scripts/convert_lpips_weights.py)")
+  import torch
+  import summary as summary_lib
+
+  model = lpips_torch.load_lpips(spatial=False)
+  model_sp = lpips_torch.load_lpips(spatial=True)
+  rng = np.random.RandomState(7)
+  img = torch.tensor(rng.rand(1, 3, 64, 64).astype(np.float32))
+  noise = torch.tensor(rng.randn(1, 3, 64, 64).astype(np.float32))
+
+  assert model(img, img, normalize=True).item() == 0.0
+  a, b = img, (img + 0.3 * noise).clamp(0, 1)
+  d_ab = model(a, b, normalize=True).item()
+  d_ba = model(b, a, normalize=True).item()
+  assert abs(d_ab - d_ba) < 1e-6          # symmetric
+  d_small = model(img, (img + 0.05 * noise).clamp(0, 1),
+                  normalize=True).item()
+  assert 0 < d_small < d_ab               # monotone in perturbation
+  assert d_ab < 2.0                       # calibrated scale, not random
+
+  # Through the summary-protocol entry point (errmap + scalar).
+  err, emap = summary_lib.compute_lpips(model, model_sp, a, b)
+  assert err == pytest.approx(d_ab, abs=1e-6)
+  assert np.asarray(emap).shape[-2:] == (64, 64)

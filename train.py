@@ -82,8 +82,17 @@ def main(unused_argv):
       # Probe with tile-reordered rays from a validation view.
       probe_batches = calibrate.probe_batches_from_view(
           val_dataset.peek()["rays"], FLAGS.tile_size, FLAGS.batch_size)
+    # Persisted per scene in the train dir (next to the flag snapshots):
+    # resume/eval/next-stage runs seed the probe ladder with the cached
+    # pair instead of re-walking its per-candidate Mosaic compiles; the
+    # key hashes the grid CONTENT, so a regenerated grid invalidates it.
+    calib_path = path.join(FLAGS.train_dir, "march_calib.json")
+    io_lib.makedirs(FLAGS.train_dir)
     model, FLAGS.march_window, FLAGS.march_refetch = calibrate.maybe_autocalibrate(
-        model, variables, FLAGS, probe_batches)
+        model, variables, FLAGS, probe_batches,
+        cache_paths=(calib_path,), store_path=calib_path,
+        grid_tag=calibrate.grid_content_tag(grid),
+        probe_kind="train" if FLAGS.batching == "tile" else "view")
   render_tile = FLAGS.tile_size if FLAGS.march_mode in ("tiled",
                                                         "pallas") else 0
   train_model = model
