@@ -33,7 +33,7 @@ single end-of-run print stuck behind a stalled companion):
   - BENCH_TIME_BUDGET (secs, default 1100, counted once the backend is
     up) skips remaining companions when exhausted (*_skipped_budget);
   - calibration ladders are persisted (train/calibrate.py cache; file at
-    BENCH_CALIB_CACHE, repo seed configs/bench_calib_seed.json) and the
+    BENCH_CALIB_CACHE, repo seed bench_calib_seed.json) and the
     all-stage companion seeds from the headline's verified pair;
   - BENCH_SMOKE=1 runs selfcheck + headline only at a pinned window — the
     fast measurement-path dry-run for pre-round-end timing.
@@ -240,7 +240,7 @@ def _build(args, grid_n):
 CALIB_CACHE = os.environ.get("BENCH_CALIB_CACHE",
                              "/tmp/jax_cache/snr_march_calib.json")
 CALIB_SEED_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "configs", "bench_calib_seed.json")
+                               "bench_calib_seed.json")
 
 
 def _auto_calibrate(model, state, grid_vars, args, probe_batches, grid_n,
