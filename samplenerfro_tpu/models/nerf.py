@@ -488,6 +488,28 @@ def get_model(key, example_batch, args, **kwargs):
   return model_dict[args.model](key, example_batch, args, **kwargs)
 
 
+def effective_march_interp(args):
+  """Stage-aware march interp precision.
+
+  The radiance stage's single-pass-bf16 interp (--march_interp=default)
+  is measured quality-neutral (STATUS.md quality A/B: 30.46 vs 30.36 dB
+  @2k, 31.26 vs 31.29 @10k). The 'all' (joint-refinement) stage is
+  different: its so3 path-refinement gradient starts in a small-signal
+  regime (the radiance stage freezes the so3 head at init), and interp
+  rounding noise in the TRAINING trajectories can swamp that signal
+  (round-5 investigation: parity-fp32 arm +3.1 dB from +10k joint steps
+  vs production-bf16 flat). --march_interp_all overrides the interp
+  precision for stages whose name starts with 'all'; 'inherit' keeps
+  --march_interp.
+  """
+  interp = str(getattr(args, "march_interp", "highest"))
+  allv = str(getattr(args, "march_interp_all", "inherit"))
+  stage = str(getattr(args, "stage", None) or "")
+  if stage.startswith("all") and allv != "inherit":
+    return allv
+  return interp
+
+
 def construct_nerf(key, example_batch, args, ndim, nmin, nmax, grid,
                    gin_overrides=None):
   """Build the NerfModel and init its variables.
@@ -594,7 +616,7 @@ def construct_nerf(key, example_batch, args, ndim, nmin, nmax, grid,
       tile_block=int(getattr(args, "tile_size", 16))**2,
       march_window=int(getattr(args, "march_window", 16)),
       march_refetch=int(getattr(args, "march_refetch", 8)),
-      march_interp=str(getattr(args, "march_interp", "highest")),
+      march_interp=effective_march_interp(args),
       march_emit=str(getattr(args, "march_emit", "full")),
       march_skip=str(getattr(args, "march_skip", "off")),
   )

@@ -236,6 +236,15 @@ def define_flags():
                     "(~14 TF/s - slower than fp32 on v5e, kept for "
                     "ablation), default is single-pass bf16 (~43 TF/s, "
                     "2.15x; quality-gate via validate_quality.py).")
+  flags.DEFINE_enum("march_interp_all", "inherit",
+                    ["inherit", "highest", "high", "default"],
+                    "march interp precision override for the 'all' "
+                    "(joint-refinement) stage only: inherit uses "
+                    "--march_interp; highest forces fp32-exact "
+                    "trajectories there while radiance stages keep the "
+                    "fast bf16 interp (the all stage's small-signal so3 "
+                    "refinement is sensitive to interp rounding noise; "
+                    "see STATUS.md round-5 quality investigation).")
   flags.DEFINE_enum("march_emit", "full", ["full", "lean"],
                     "fused-march output channels: full emits the dense "
                     "[batch, S, 11] trajectory (pos/dir/dist/n/grad-n); "

@@ -36,6 +36,30 @@ def test_march_bwd_impl_threads_to_path_sampler():
   assert model_d.march_bwd_impl == "auto"
 
 
+def test_march_interp_all_stage_override():
+  """--march_interp_all promotes ONLY 'all'-stage models (inherit = no-op)."""
+  from samplenerfro_tpu.models import nerf as nerf_lib
+
+  base = dict(march_interp="default")
+  cases = [
+      # (stage, march_interp_all, expected effective interp)
+      ("radiance", "inherit", "default"),
+      ("radiance", "highest", "default"),   # radiance never promoted
+      ("all", "inherit", "default"),
+      ("all", "highest", "highest"),
+      ("all_quality", "highest", "highest"),  # stage-prefix semantics
+      ("ior", "highest", "default"),
+  ]
+  for stage, allv, want in cases:
+    args = helpers.tiny_args(stage=stage, march_interp_all=allv, **base)
+    got = nerf_lib.effective_march_interp(args)
+    assert got == want, (stage, allv, got)
+  # And it reaches the constructed model's path-sampler config.
+  model, _, _, _ = _build(helpers.tiny_args(
+      stage="all", march_interp="default", march_interp_all="highest"))
+  assert model.march_interp == "highest"
+
+
 def test_forward_shapes_and_finite():
   model, variables, rays, _ = _build()
   ret, loss_sp = model.apply(
