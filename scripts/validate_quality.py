@@ -92,6 +92,14 @@ def main():
   p.add_argument("--march_interp", default="highest",
                  choices=["highest", "high", "default"],
                  help="fused-march interpolation precision (A/B knob)")
+  p.add_argument("--march_interp_all", default="inherit",
+                 choices=["inherit", "highest", "high", "default"],
+                 help="all-stage TRAIN interp override (stage-aware knob; "
+                 "the all-stage EVAL always renders at highest so arms "
+                 "differ only in training precision)")
+  p.add_argument("--all_tag", default="",
+                 help="suffix for the all-stage dir so multiple all-stage "
+                 "arms (e.g. interp A/B) can share one radiance checkpoint")
   p.add_argument("--march_skip", default="off", choices=["off", "uniform"],
                  help="fused-march uniform-window free-space skip (A/B "
                  "knob; exact when march_oow == 0)")
@@ -148,11 +156,20 @@ def main():
   train_dir = os.path.join(args.workdir, f"logs_{tag}")
   stage = "radiance_quality"
   env = dict(os.environ)
-  for cmd_name, script, extra in (
+  psnr_file = os.path.join(train_dir, stage, "test_preds", "psnr.txt")
+  ckpt_file = os.path.join(train_dir, stage, f"checkpoint_{args.steps}")
+  radiance_cmds = (
       ("train", "train.py", []),
       ("eval", "eval.py",
        [f"--gin_param=Config.radiance_weight_name='{stage}'",
-        "--eval_once=True"])):
+        "--eval_once=True"]))
+  if os.path.exists(psnr_file) and os.path.exists(ckpt_file):
+    # Resume semantics: a finished radiance stage (checkpoint at the full
+    # budget + recorded PSNR) is reused, so multiple --all_tag arms can
+    # share one radiance run.
+    print(f"radiance stage complete ({ckpt_file}); skipping to all stage")
+    radiance_cmds = ()
+  for cmd_name, script, extra in radiance_cmds:
     cmd = [sys.executable, os.path.join(REPO, script),
            f"--data_dir={data_dir}", f"--train_dir={train_dir}",
            f"--config={cfg_base}", f"--gin_file={cfg_base}.gin",
@@ -167,7 +184,6 @@ def main():
     if proc.returncode != 0:
       raise SystemExit(f"{cmd_name} failed")
 
-  psnr_file = os.path.join(train_dir, stage, "test_preds", "psnr.txt")
   print(f"RESULT {tag}: PSNR = {open(psnr_file).read()}")
 
   if args.all_steps > 0:
@@ -175,16 +191,20 @@ def main():
     # staged-training flow: copy the radiance stage dir so the all stage
     # resumes from its params; max_steps extends past the radiance budget).
     import shutil
-    all_stage = "all_quality"
+    all_stage = "all_quality" + (f"_{args.all_tag}" if args.all_tag else "")
     all_dir = os.path.join(train_dir, all_stage)
     if not os.path.exists(all_dir):
       shutil.copytree(os.path.join(train_dir, stage), all_dir)
       shutil.rmtree(os.path.join(all_dir, "test_preds"), ignore_errors=True)
     total = args.steps + args.all_steps
     for cmd_name, script, extra in (
-        ("train(all)", "train.py", []),
+        ("train(all)", "train.py",
+         [f"--march_interp_all={args.march_interp_all}"]),
         ("eval(all)", "eval.py",
          [f"--gin_param=Config.all_weight_name='{all_stage}'",
+          # Arms differ only in TRAINING precision: the all-stage eval
+          # always renders trajectories at fp32-exact interp.
+          "--march_interp_all=highest",
           "--eval_once=True"])):
       cmd = [sys.executable, os.path.join(REPO, script),
              f"--data_dir={data_dir}", f"--train_dir={train_dir}",
