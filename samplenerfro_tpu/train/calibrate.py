@@ -158,7 +158,11 @@ def maybe_autocalibrate(model, variables, flags, probe_batches,
         tile_size=flags.tile_size,
         num_coarse_samples=flags.num_coarse_samples,
         num_path_samples=flags.num_path_samples,
-        march_interp=getattr(flags, "march_interp", "highest"),
+        # Key by the stage-aware EFFECTIVE interp (--march_interp_all can
+        # promote 'all'-stage runs): the probe model already carries it,
+        # and a key on the raw flag would alias two different precisions.
+        march_interp=getattr(model, "march_interp",
+                             getattr(flags, "march_interp", "highest")),
         stage=getattr(flags, "stage", ""),
         bwd_impl=_resolved_bwd_impl(getattr(flags, "march_bwd_impl",
                                             "auto")))
