@@ -485,6 +485,22 @@ def main():
   # timeout with everything measured so far on its last JSON line.
   T_START = time.monotonic()
 
+  if (os.environ.get("BENCH_MARCH_MODE", "pallas") == "pallas"
+      and os.environ.get("SAMPLENERFRO_FORCE_CPU") != "1"):
+    # A dead Mosaic remote-compile relay blocks the first pallas_call
+    # forever — which would turn this whole run into a driver timeout
+    # with no JSON line (the round-4 failure mode, in a new guise).
+    # Probe under a wall clock; on failure demote the entire bench to
+    # the XLA tiled marcher + stepvjp reverse sweep, honestly labeled.
+    from samplenerfro_tpu.utils import mosaic_probe
+    if not mosaic_probe.probe():
+      os.environ["SAMPLENERFRO_MOSAIC"] = "0"
+      os.environ["BENCH_MARCH_MODE"] = "tiled"
+      os.environ["EIKVJP_IMPL"] = "stepvjp"
+      record["mosaic_relay"] = "unavailable"
+      print("bench.py: mosaic relay unavailable — benching the XLA "
+            "tiled-marcher fallback configuration", file=sys.stderr)
+
   if os.environ.get("BENCH_CHECK", "1") != "0":
     # On-device correctness gate (see module docstring): raises on
     # disagreement between pallas/tiled/scan forwards or between the

@@ -41,6 +41,7 @@ def main(unused_argv):
   if FLAGS.config is not None:
     config_lib.update_flags(FLAGS)
   config_lib.apply_matmul_precision(FLAGS.matmul_precision)
+  config_lib.resolve_mosaic(FLAGS)
   if FLAGS.train_dir is None:
     raise ValueError("train_dir must be set. None set now.")
   if FLAGS.data_dir is None:

@@ -314,7 +314,8 @@ class PathSampler(nn.Module):
           self.step_size,
           self.num_samples, block_size=self.tile_block,
           window=self.march_window, refetch_every=self.march_refetch,
-          pred_grad_fn=pred_grad_fn, use_pred_grad=use_pred)
+          pred_grad_fn=pred_grad_fn, use_pred_grad=use_pred,
+          interp_precision=self.march_interp)
       self.sow("diagnostics", "march_oow", oow,
                init_fn=lambda: jnp.int32(0),
                reduce_fn=lambda a, b: a + b)

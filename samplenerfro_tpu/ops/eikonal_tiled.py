@@ -93,7 +93,8 @@ def window_origin(cells_of, rp, rd, refetch_every, step_size, w, n):
 
 def march_tiled(spec, data, origins, directions, near, step_size, num_samples,
                 block_size=256, window=8, refetch_every=8, unroll=2,
-                pred_grad_fn=None, use_pred_grad=False, normalize_dirs=True):
+                pred_grad_fn=None, use_pred_grad=False, normalize_dirs=True,
+                interp_precision="highest"):
   """March eikonal paths for spatially-coherent ray blocks.
 
   Args:
@@ -160,8 +161,15 @@ def march_tiled(spec, data, origins, directions, near, step_size, num_samples,
     uz = _axis_weights(rel[..., 2], frac[..., 2], w)
     wmat = (ux[..., :, None, None] * uy[..., None, :, None]
             * uz[..., None, None, :]).reshape(nb, block_size, w**3)
+    # interp_precision mirrors the fused kernel's --march_interp semantics
+    # (march_kernel._precision): HIGHEST = exact fp32 products, DEFAULT =
+    # single-pass-bf16 MXU multiplies with fp32 accumulate — the production
+    # fast path whose trajectory rounding this XLA marcher can now A/B
+    # without a Mosaic compile.
     vals = jnp.einsum("brw,bwc->brc", wmat, bricks.reshape(nb, w**3, 4),
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=getattr(jax.lax.Precision,
+                                        str(interp_precision).upper()),
+                      preferred_element_type=origins.dtype)
 
     nvals = vals[..., :1]
     g = vals[..., 1:]

@@ -113,6 +113,10 @@ def make_march_allstage(spec, near, step_size, num_samples, block_size,
   """
   if bwd_impl is None:
     bwd_impl = os.environ.get("EIKVJP_IMPL", "pallas")
+  if bwd_impl == "pallas" and march_kernel.mosaic_off():
+    # Mosaic compiles unavailable (relay outage — utils/mosaic_probe.py):
+    # the XLA analytic reverse sweep is the fallback production backward.
+    bwd_impl = "stepvjp"
   return _make_march_allstage(spec, near, step_size, num_samples,
                               block_size, window, refetch_every, so3_key,
                               fwd_mode, bwd_dtype, bwd_impl, fwd_interp,

@@ -133,18 +133,35 @@ def _supports(spec, num_samples, batch, block_size, window, refetch_every):
           and block_size % 128 == 0)
 
 
+def mosaic_off():
+  """True when Mosaic compiles are administratively unavailable on TPU.
+
+  Drivers set SAMPLENERFRO_MOSAIC=0 after utils/mosaic_probe.py finds the
+  remote-compile relay unresponsive (a hung relay blocks the FIRST
+  pallas_call forever — see the probe module). Every capability check
+  consults this, so the whole marcher stack (forward, lean emit, reverse
+  sweep, selfcheck arms) structurally falls back to the XLA tiled path
+  instead of hanging. CPU/interpret-mode pallas needs no relay and is
+  never gated.
+  """
+  import os  # noqa: PLC0415
+  return (os.environ.get("SAMPLENERFRO_MOSAIC") == "0"
+          and jax.default_backend() == "tpu")
+
+
 def supports(spec, num_samples, batch, block_size=256, window=8,
              refetch_every=8):
   """Public capability check for callers choosing a marcher."""
-  return _supports(spec, num_samples, batch, block_size, window,
-                   refetch_every)
+  return not mosaic_off() and _supports(spec, num_samples, batch,
+                                        block_size, window, refetch_every)
 
 
 def supports_lean(spec, num_samples, batch, num_coarse, block_size=256,
                   window=8, refetch_every=8):
   """Capability check for the lean-emit + in-kernel-subsample variant."""
-  return (_supports(spec, num_samples, batch, block_size, window,
-                    refetch_every)
+  return (not mosaic_off()
+          and _supports(spec, num_samples, batch, block_size, window,
+                        refetch_every)
           and num_coarse > 0 and num_samples % num_coarse == 0)
 
 

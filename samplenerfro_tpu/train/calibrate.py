@@ -212,7 +212,11 @@ def _resolved_bwd_impl(flag_value):
   """'auto' -> $EIKVJP_IMPL (default pallas), mirroring eikonal_vjp."""
   import os
   if flag_value in (None, "auto"):
-    return os.environ.get("EIKVJP_IMPL", "pallas")
+    flag_value = os.environ.get("EIKVJP_IMPL", "pallas")
+  if flag_value == "pallas":
+    from samplenerfro_tpu.ops.pallas import march_kernel
+    if march_kernel.mosaic_off():
+      return "stepvjp"  # relay outage demotion (eikonal_vjp mirrors this)
   return flag_value
 
 

@@ -205,6 +205,10 @@ def check_march(grid_n=128, window=16, refetch=8, num_samples=768,
   # of envelope is recorded as a soft failure, not a bench abort.
   soft_failures = []
   for impl in ("stepvjp", "pallas"):
+    if impl == "pallas" and march_kernel.mosaic_off():
+      # Relay outage: the fused reverse kernel cannot compile; comparing
+      # its silent stepvjp fallback against stepvjp would be vacuous.
+      continue
     soft = None if impl in hard_bwd_impls else soft_failures
     march_all = eikonal_vjp.make_march_allstage(
         spec, near, h, s_grad, block_size, window, refetch, SO3_KEY,

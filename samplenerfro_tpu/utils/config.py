@@ -378,3 +378,30 @@ def apply_matmul_precision(precision):
   import jax
   if precision and precision != "default":
     jax.config.update("jax_default_matmul_precision", precision)
+
+
+def resolve_mosaic(flags_obj):
+  """Gate Mosaic-dependent paths when the remote-compile relay is down.
+
+  On relay-backed TPU environments a dead relay makes the FIRST
+  pallas_call lowering block forever (utils/mosaic_probe.py). When the
+  run wants the fused kernels (march_mode=pallas on a TPU backend), probe
+  once; on failure set SAMPLENERFRO_MOSAIC=0 so every capability check
+  (ops/pallas/march_kernel.py:mosaic_off) demotes to the XLA tiled
+  marcher + stepvjp reverse sweep instead of hanging. Returns True iff
+  Mosaic is usable. No-op (True) for non-pallas modes and CPU backends.
+  """
+  import jax
+  if getattr(flags_obj, "march_mode", None) != "pallas":
+    return True
+  if jax.default_backend() != "tpu":
+    return True
+  from samplenerfro_tpu.utils import mosaic_probe
+  if mosaic_probe.probe():
+    return True
+  os.environ["SAMPLENERFRO_MOSAIC"] = "0"
+  print("WARNING: Mosaic remote-compile relay unavailable — the fused "
+        "Pallas march/reverse kernels are disabled for this run; the XLA "
+        "tiled marcher and stepvjp reverse sweep take over (slower, same "
+        "results). Set SAMPLENERFRO_MOSAIC=1 to force pallas.", flush=True)
+  return False

@@ -19,7 +19,7 @@ CONFIG_YAML = """\
 dataset: blender
 batching: {batching}
 factor: 0
-batch_size: 1024
+batch_size: {batch_size}
 num_coarse_samples: 64
 num_fine_samples: 128
 num_path_samples: 12
@@ -67,6 +67,7 @@ NerfModel.use_mask_bbox = False
 def main():
   p = argparse.ArgumentParser()
   p.add_argument("--steps", type=int, default=2000)
+  p.add_argument("--batch_size", type=int, default=1024)
   p.add_argument("--batching", default="single_image",
                  choices=["single_image", "tile"])
   p.add_argument("--march_mode", default=None,
@@ -123,6 +124,8 @@ def main():
     synth.make_scene(data_dir)
 
   tag = f"{args.batching}_{march_mode}_w{args.march_window}"
+  if args.batch_size != 1024:
+    tag += f"_b{args.batch_size}"
   if args.ipe:
     tag += "_ipe"
   if args.mlp_dtype != "float32":
@@ -146,6 +149,7 @@ def main():
     f.write(CONFIG_YAML.format(batching=args.batching, steps=args.steps,
                                march_mode=march_mode,
                                march_window=args.march_window,
+                               batch_size=args.batch_size,
                                anneal_max=anneal_max))
     f.write(f"mlp_dtype: {args.mlp_dtype}\n")
   with open(cfg_base + ".gin", "w") as f:

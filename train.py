@@ -50,6 +50,7 @@ def main(unused_argv):
   if FLAGS.config is not None:
     config_lib.update_flags(FLAGS)
   config_lib.apply_matmul_precision(FLAGS.matmul_precision)
+  config_lib.resolve_mosaic(FLAGS)
   if FLAGS.batch_size % jax.device_count() != 0:
     raise ValueError("Batch size must be divisible by the number of devices.")
   if FLAGS.train_dir is None:
