@@ -168,6 +168,19 @@ def check_march(grid_n=128, window=16, refetch=8, num_samples=768,
                           bf16_out[:5]):
       _assert_close(f"fwd_pallas_bf16_{name}", a, b, 0.05, deviations)
 
+  # --- Forward, tiled bf16 interp (the relay-outage fallback config) -------
+  # Under a Mosaic outage the bench/production route demotes to the XLA
+  # tiled marcher, still with --march_interp=default: gate that forward
+  # against the same loose envelope as the pallas bf16 path.
+  tiled_bf16 = eikt.march_tiled(
+      spec, data3d, o, d, near, h, num_samples, block_size=block_size,
+      window=window, refetch_every=refetch, interp_precision="default")
+  assert int(tiled_bf16[5]) == 0, (
+      "tiled bf16-interp marcher reported window violations")
+  for name, a, b in zip(("pos", "dirs", "dist", "n", "g"), scan_out,
+                        tiled_bf16[:5]):
+    _assert_close(f"fwd_tiled_bf16_{name}", a, b, 0.05, deviations)
+
   # --- Backward ("all" stage): analytic reverse sweep vs autodiff ----------
   s_grad = grad_samples
   in_dim = 2 * 3 * SO3_KEY[1]

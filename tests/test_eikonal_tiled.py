@@ -457,3 +457,55 @@ def test_maybe_autocalibrate_persists_and_reloads(tmp_path):
       model3, {}, flags, batches, cache_paths=(path,), store_path=path,
       grid_tag="tag2")
   assert len(model3.log) == cands.index(expect) + 1
+
+
+def test_mosaic_off_gates_every_capability_check(monkeypatch):
+  """SAMPLENERFRO_MOSAIC=0 on a TPU backend disables all pallas routing.
+
+  The relay-outage demotion (utils/mosaic_probe.py) funnels through
+  march_kernel.mosaic_off(): forward supports(), lean supports(), the
+  reverse kernel's supports(), and the EIKVJP impl resolution must all
+  say no, so nothing ever reaches a Mosaic compile.
+  """
+  import jax as jax_mod
+
+  from samplenerfro_tpu.ops import grid as grid_ops
+  from samplenerfro_tpu.ops.pallas import march_bwd_kernel
+  from samplenerfro_tpu.ops.pallas import march_kernel
+  from samplenerfro_tpu.train import calibrate
+
+  spec = grid_ops.GridSpec([64] * 3, [-1.5] * 3, [1.5] * 3)
+  sup_args = (spec, 768, 512, 256, 16, 8)
+  assert march_kernel.supports(*sup_args)
+  assert march_kernel.supports_lean(spec, 768, 512, 64, 256, 16, 8)
+  assert march_bwd_kernel.supports(*sup_args)
+
+  monkeypatch.setenv("SAMPLENERFRO_MOSAIC", "0")
+  # CPU backends are never gated (tests run interpret-mode pallas).
+  assert not march_kernel.mosaic_off()
+  assert march_kernel.supports(*sup_args)
+
+  monkeypatch.setattr(jax_mod, "default_backend", lambda: "tpu")
+  assert march_kernel.mosaic_off()
+  assert not march_kernel.supports(*sup_args)
+  assert not march_kernel.supports_lean(spec, 768, 512, 64, 256, 16, 8)
+  assert not march_bwd_kernel.supports(*sup_args)
+  # The calibration ladder's resolved bwd impl demotes pallas -> stepvjp.
+  assert calibrate._resolved_bwd_impl("auto") == "stepvjp"
+  assert calibrate._resolved_bwd_impl("pallas") == "stepvjp"
+  assert calibrate._resolved_bwd_impl("passes") == "passes"
+
+
+def test_march_tiled_interp_precision_knob():
+  """interp_precision threads to the interp einsum (exact on CPU)."""
+  spec, data = _blob_grid()
+  o, d = _tile_bundle()
+  hi = eikt.march_tiled(spec, data, o, d, 0.5, 0.02, 32,
+                        block_size=o.shape[0], window=16, refetch_every=8)
+  lo = eikt.march_tiled(spec, data, o, d, 0.5, 0.02, 32,
+                        block_size=o.shape[0], window=16, refetch_every=8,
+                        interp_precision="default")
+  # CPU ignores matmul precision hints: identical results, but the knob
+  # must be plumbed (a typo'd name would raise in getattr).
+  for a, b in zip(hi[:5], lo[:5]):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
