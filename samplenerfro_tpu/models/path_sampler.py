@@ -261,6 +261,25 @@ class PathSampler(nn.Module):
 
     if (use_pred and self.march_mode in ("tiled", "pallas")
         and origins.shape[0] % self.tile_block == 0
+        and self.march_window > 0 and self.march_bwd_impl == "autodiff"):
+      # Gradient-fidelity reference: plain autodiff THROUGH the windowed
+      # XLA forward (what the analytic sweeps are parity-tested against;
+      # ~3x slower — rematerializes the step chain). A/B knob for
+      # isolating backward-implementation effects at matched
+      # forward trajectories.
+      pos, dirs, dist, n, g, oow = eik_tiled.march_tiled(
+          self.spec, self.grid3d.value, origins, directions, self.near,
+          self.step_size, self.num_samples, block_size=self.tile_block,
+          window=self.march_window, refetch_every=self.march_refetch,
+          pred_grad_fn=pred_grad_fn, use_pred_grad=True,
+          interp_precision=self.march_interp)
+      self.sow("diagnostics", "march_oow", oow,
+               init_fn=lambda: jnp.int32(0),
+               reduce_fn=lambda a, b: a + b)
+      return _ret(pos, dirs, jax.lax.stop_gradient(dist), n, g)
+
+    if (use_pred and self.march_mode in ("tiled", "pallas")
+        and origins.shape[0] % self.tile_block == 0
         and self.march_window > 0):
       # "all"-stage windowed march with the ANALYTIC reverse sweep
       # (ops/eikonal_vjp.py): forward runs the fused Pallas kernel when

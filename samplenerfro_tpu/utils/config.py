@@ -265,12 +265,14 @@ def define_flags():
                     "(ops/eikonal_vjp.py); float32 matches autodiff "
                     "exactly, bfloat16 is the fast production path.")
   flags.DEFINE_enum("march_bwd_impl", "auto",
-                    ["auto", "stepvjp", "passes", "pallas"],
+                    ["auto", "stepvjp", "passes", "pallas", "autodiff"],
                     "'all'-stage reverse-sweep implementation "
                     "(ops/eikonal_vjp.py): stepvjp (per-step adjoint in "
                     "the reverse scan), passes (batched three-pass XLA "
                     "formulation; measured slower on v5e), pallas (fused "
-                    "Mosaic reverse kernel). auto defers to $EIKVJP_IMPL "
+                    "Mosaic reverse kernel), autodiff (plain jax.grad "
+                    "through the windowed forward — the gradient-fidelity "
+                    "reference, slow). auto defers to $EIKVJP_IMPL "
                     "(default stepvjp). All parity-tested vs autodiff.")
   flags.DEFINE_enum("mlp_dtype", "float32", ["float32", "bfloat16"],
                     "radiance-MLP compute dtype (params stay fp32); "

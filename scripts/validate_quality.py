@@ -87,7 +87,7 @@ def main():
                  choices=["float32", "bfloat16"],
                  help="all-stage reverse-sweep dtype (ops/eikonal_vjp.py)")
   p.add_argument("--march_bwd_impl", default="auto",
-                 choices=["auto", "stepvjp", "passes", "pallas"],
+                 choices=["auto", "stepvjp", "passes", "pallas", "autodiff"],
                  help="all-stage reverse-sweep implementation (gradient-"
                  "fidelity A/B knob; ops/eikonal_vjp.py)")
   p.add_argument("--march_interp", default="highest",

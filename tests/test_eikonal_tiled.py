@@ -509,3 +509,44 @@ def test_march_tiled_interp_precision_knob():
   # must be plumbed (a typo'd name would raise in getattr).
   for a, b in zip(hi[:5], lo[:5]):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_march_bwd_impl_autodiff_matches_stepvjp_grads():
+  """bwd_impl='autodiff' (direct differentiable tiled forward) gradient
+  parity vs the analytic stepvjp sweep at matched trajectories."""
+  from jax import random as jrandom
+
+  from samplenerfro_tpu.ops import eikonal_vjp
+  from samplenerfro_tpu.ops import mlp as fmlp
+
+  spec, data = _blob_grid()
+  n = spec.ndim[0]
+  data3d = jnp.asarray(np.asarray(data).reshape(n, n, n * 4))
+  o, d = _tile_bundle()
+  bs = o.shape[0]
+  S, near, h = 32, 0.5, 0.02
+  so3_key = (0, 4, True, True, True, False)
+  so3 = fmlp.mlp_init(jrandom.PRNGKey(0), 2 * 3 * so3_key[1], net_depth=2,
+                      net_width=16, skip_layer=4, num_out_channels=3,
+                      output_init_std=1e-2)
+  so3_apply = eikonal_vjp.make_so3_apply(*so3_key)
+  march = eikonal_vjp.make_march_allstage(
+      spec, near, h, S, bs, 16, 8, so3_key, "tiled", bwd_impl="stepvjp")
+
+  def loss_analytic(th):
+    pos, dirs, dist, nv, g, _ = march(data3d, o, d, jnp.float32(0.7), th)
+    return jnp.sum(jnp.sin(pos)) + jnp.sum(dirs) + jnp.sum(nv * g)
+
+  def loss_autodiff(th):
+    pred = lambda rp, g_: so3_apply(th, jnp.float32(0.7), rp, g_)
+    pos, dirs, dist, nv, g, _ = eikt.march_tiled(
+        spec, data3d, o, d, near, h, S, block_size=bs, window=16,
+        refetch_every=8, pred_grad_fn=pred, use_pred_grad=True)
+    return jnp.sum(jnp.sin(pos)) + jnp.sum(dirs) + jnp.sum(nv * g)
+
+  ga = jax.grad(loss_analytic)(so3)
+  gb = jax.grad(loss_autodiff)(so3)
+  for pa, pb in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                               rtol=1e-4, atol=1e-6)
