@@ -49,6 +49,7 @@ chunk: 8192
 march_mode: {march_mode}
 tile_size: 16
 march_window: {march_window}
+march_refetch: {march_refetch}
 """
 
 GIN = """\
@@ -73,6 +74,7 @@ def main():
   p.add_argument("--march_mode", default=None,
                  help="default: tiled when batching=tile else scan")
   p.add_argument("--march_window", type=int, default=16)
+  p.add_argument("--march_refetch", type=int, default=8)
   p.add_argument("--workdir", default="/tmp/snr_quality")
   p.add_argument("--skip_scene", action="store_true")
   p.add_argument("--ipe", action="store_true",
@@ -124,6 +126,8 @@ def main():
     synth.make_scene(data_dir)
 
   tag = f"{args.batching}_{march_mode}_w{args.march_window}"
+  if args.march_refetch != 8:
+    tag += f"_r{args.march_refetch}"
   if args.batch_size != 1024:
     tag += f"_b{args.batch_size}"
   if args.ipe:
@@ -149,6 +153,7 @@ def main():
     f.write(CONFIG_YAML.format(batching=args.batching, steps=args.steps,
                                march_mode=march_mode,
                                march_window=args.march_window,
+                               march_refetch=args.march_refetch,
                                batch_size=args.batch_size,
                                anneal_max=anneal_max))
     f.write(f"mlp_dtype: {args.mlp_dtype}\n")
